@@ -6,7 +6,10 @@ XLA's host-platform virtual devices (the recommended JAX pattern for testing
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the ambient env sets JAX_PLATFORMS=axon (the real
+# TPU tunnel); unit tests must run on the virtual CPU mesh for speed and for
+# exact-math comparisons against the torch oracle.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

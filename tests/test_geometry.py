@@ -1,0 +1,250 @@
+"""Energy / Poincaré-op tests, cross-checked against a PyTorch oracle typed
+directly from the reference math (order_embeddings.py:819-969,
+order_embeddings_h.py:634-674,1097-1120, oe_h.py:77-110)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from learning_embeddings_tpu.geometry import (
+    arctanh,
+    euc_cone_energy,
+    exp_map_x,
+    exp_map_zero_shifted,
+    hyp_cone_energy,
+    inner_radius,
+    lambda_x,
+    mobius_add,
+    order_energy,
+    pairwise_euc_cone_energy,
+    pairwise_hyp_cone_energy,
+    pairwise_order_energy,
+    project_annulus,
+)
+
+RNG = np.random.RandomState(0)
+
+
+# --------------------------------------------------------------------------
+# torch oracles (reference math, hand-typed)
+# --------------------------------------------------------------------------
+
+def torch_order_energy(x, y):
+    return torch.sum(torch.clamp(x - y, min=0.0) ** 2, dim=1)
+
+
+def torch_euc_cone_energy(x, y, K=3.0):
+    x_norm = torch.norm(x, p=2, dim=1)
+    theta = -torch.sum(F.normalize(x, dim=1) * F.normalize(y - x, dim=1), dim=1)
+    psi = -torch.sqrt(1 - (K * K / x_norm**2))
+    return torch.clamp(theta - psi, min=0.0)
+
+
+def torch_hyp_cone_energy(x, y, K=0.1):
+    x_norm = torch.norm(x, p=2, dim=1)
+    y_norm = torch.norm(y, p=2, dim=1)
+    x_y_dist = torch.norm(x - y, p=2, dim=1)
+    x_dot_y = torch.sum(x * y, dim=1)
+    acos_arg = (x_dot_y * (1 + x_norm**2) - (x_norm**2) * (1 + y_norm**2)) / (
+        x_norm * x_y_dist * torch.sqrt(1 + (x_norm * y_norm) ** 2 - 2 * x_dot_y))
+    theta = torch.acos(torch.clamp(acos_arg, min=-1 + 1e-5, max=1 - 1e-5))
+    psi = torch.asin(torch.clamp(K * (1 - x_norm**2) / x_norm, min=-1 + 1e-5, max=1 - 1e-5))
+    return torch.clamp(theta - psi, min=0.0)
+
+
+def torch_mob_add(u, v, inner_r, v_offset=1e-6):
+    v = v + v_offset
+    dot = 2.0 * torch.sum(u * v, dim=1, keepdim=True)
+    nu = torch.sum(u * u, dim=1, keepdim=True)
+    nv = torch.sum(v * v, dim=1, keepdim=True)
+    den = 1.0 + dot + nv * nu
+    res = (1.0 + dot + nv) / den * u + (1.0 - nu) / den * v
+    # soft_clip
+    n = torch.norm(res, dim=1, keepdim=True)
+    res = torch.where(n <= inner_r, res / n * inner_r, res)
+    n = torch.norm(res, dim=1, keepdim=True)
+    res = torch.where(n >= 1.0, res / n * (1 - 1e-5), res)
+    return res
+
+
+def ball_points(n, d, lo=0.1, hi=0.9):
+    """Random points in the annulus [lo, hi] of the unit ball."""
+    x = RNG.randn(n, d)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    r = RNG.uniform(lo, hi, size=(n, 1))
+    return (x * r).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# elementwise energies vs oracle
+# --------------------------------------------------------------------------
+
+def test_order_energy_vs_torch():
+    x = RNG.randn(64, 10).astype(np.float32)
+    y = RNG.randn(64, 10).astype(np.float32)
+    ours = np.asarray(order_energy(jnp.array(x), jnp.array(y)))
+    ref = torch_order_energy(torch.tensor(x), torch.tensor(y)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_euc_cone_energy_vs_torch():
+    # euclidean cones use K=3.0 with norms >= K (annulus [K, big])
+    x = ball_points(64, 10) * 10.0 + 0.0
+    x = x / np.linalg.norm(x, axis=1, keepdims=True) * RNG.uniform(3.0, 8.0, (64, 1))
+    y = x * RNG.uniform(1.0, 1.5, (64, 1)) + 0.01 * RNG.randn(64, 10)
+    x, y = x.astype(np.float32), y.astype(np.float32)
+    ours = np.asarray(euc_cone_energy(jnp.array(x), jnp.array(y)))
+    ref = torch_euc_cone_energy(torch.tensor(x), torch.tensor(y)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_hyp_cone_energy_vs_torch():
+    r0 = inner_radius(0.1)
+    x = ball_points(128, 10, lo=r0, hi=0.95)
+    y = ball_points(128, 10, lo=r0, hi=0.95)
+    ours = np.asarray(hyp_cone_energy(jnp.array(x), jnp.array(y)))
+    ref = torch_hyp_cone_energy(torch.tensor(x), torch.tensor(y)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hyp_cone_energy_degenerate_pairs_no_nan():
+    r0 = inner_radius(0.1)
+    x = ball_points(4, 6, lo=r0, hi=0.9)
+    e = np.asarray(hyp_cone_energy(jnp.array(x), jnp.array(x)))  # x == y
+    assert np.isfinite(e).all()
+
+
+def test_cone_containment_semantics():
+    """A point further along the same ray (deeper in the cone) must have
+    near-zero energy; a point in the opposite direction must have large
+    energy."""
+    x = np.zeros((1, 5), np.float32)
+    x[0, 0] = 0.3
+    deeper = x * 2.0
+    opposite = -x
+    e_in = float(hyp_cone_energy(jnp.array(x), jnp.array(deeper))[0])
+    e_out = float(hyp_cone_energy(jnp.array(x), jnp.array(opposite))[0])
+    assert e_in < 1e-3
+    assert e_out > 1.0
+
+
+# --------------------------------------------------------------------------
+# Poincaré ops vs oracle
+# --------------------------------------------------------------------------
+
+def test_arctanh_matches_reference_clamp():
+    x = np.array([-2.0, -0.5, 0.0, 0.5, 0.99999, 2.0], np.float32)
+    ours = np.asarray(arctanh(jnp.array(x)))
+    t = torch.tensor(x).clamp(-1 + 1e-5, 1 - 1e-5)
+    ref = (torch.log(1 + t) - torch.log(1 - t)) * 0.5
+    # log1p (ours) vs log(1-x) (torch) differ by ~5e-5 relative in f32
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_project_annulus():
+    r0 = inner_radius(0.1)
+    x = np.array([[1e-4, 0, 0], [0.5, 0, 0], [3.0, 0, 0]], np.float32)
+    out = np.asarray(project_annulus(jnp.array(x), r0))
+    norms = np.linalg.norm(out, axis=1)
+    np.testing.assert_allclose(norms[0], r0, rtol=1e-5)
+    np.testing.assert_allclose(norms[1], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(norms[2], 1 - 1e-5, rtol=1e-6)
+
+
+def test_mobius_add_vs_torch():
+    r0 = inner_radius(0.1)
+    u = ball_points(32, 8, lo=r0, hi=0.9)
+    v = ball_points(32, 8, lo=0.01, hi=0.3)
+    ours = np.asarray(mobius_add(jnp.array(u), jnp.array(v), r0))
+    ref = torch_mob_add(torch.tensor(u), torch.tensor(v), r0).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_exp_map_x_stays_in_ball():
+    r0 = inner_radius(0.1)
+    x = ball_points(32, 8, lo=r0, hi=0.95)
+    v = 0.1 * RNG.randn(32, 8).astype(np.float32)
+    out = np.asarray(exp_map_x(jnp.array(x), jnp.array(v), r0))
+    norms = np.linalg.norm(out, axis=1)
+    assert (norms <= 1.0 - 1e-6).all()
+    assert (norms >= r0 - 1e-6).all()
+
+
+def test_exp_map_zero_shifted_vs_torch():
+    r0 = inner_radius(0.1)
+    x = RNG.randn(32, 8).astype(np.float32)
+    ours = np.asarray(exp_map_zero_shifted(jnp.array(x), r0))
+    xt = torch.tensor(x) + 1e-15
+    n = torch.norm(xt, p=2, dim=1, keepdim=True)
+    r0h = float(np.arctanh(r0))
+    ref = torch.tanh(torch.clamp(r0h + n, -15.0, 15.0)) * F.normalize(xt)
+    # XLA-CPU's vectorized tanh differs from torch/libm by up to ~3e-5
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=2e-4, atol=5e-5)
+
+
+def test_lambda_x_uses_nonsquared_norm():
+    # parity with the reference's 2/(1-||x||) (NOT 1-||x||^2)
+    x = np.array([[0.5, 0.0]], np.float32)
+    assert np.allclose(np.asarray(lambda_x(jnp.array(x))), 2.0 / (1 - 0.5))
+
+
+# --------------------------------------------------------------------------
+# pairwise kernels
+# --------------------------------------------------------------------------
+
+def test_pairwise_order_xla_matches_elementwise():
+    u = RNG.randn(37, 12).astype(np.float32)
+    v = RNG.randn(53, 12).astype(np.float32)
+    pw = np.asarray(pairwise_order_energy(jnp.array(u), jnp.array(v), use_pallas=False))
+    for i in [0, 17, 36]:
+        row = np.asarray(order_energy(jnp.array(u[i : i + 1]), jnp.array(v)))
+        np.testing.assert_allclose(pw[i], row, rtol=1e-5, atol=1e-6)
+
+
+def test_pairwise_order_pallas_interpret_matches_xla():
+    from learning_embeddings_tpu.geometry.pairwise import _pairwise_order_pallas
+
+    u = RNG.randn(50, 10).astype(np.float32)
+    v = RNG.randn(70, 10).astype(np.float32)
+    ref = np.asarray(pairwise_order_energy(jnp.array(u), jnp.array(v), use_pallas=False))
+    out = np.asarray(_pairwise_order_pallas(jnp.array(u), jnp.array(v), interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["euc", "hyp"])
+def test_pairwise_cone_matches_elementwise(kind):
+    if kind == "euc":
+        u = ball_points(33, 8, lo=3.05, hi=8.0)  # norms >= K=3
+        u = u / np.linalg.norm(u, axis=1, keepdims=True) * RNG.uniform(3.05, 8, (33, 1))
+        v = ball_points(47, 8) * 5
+        fn_pair, fn_elem = pairwise_euc_cone_energy, euc_cone_energy
+    else:
+        r0 = inner_radius(0.1)
+        u = ball_points(33, 8, lo=r0, hi=0.9)
+        v = ball_points(47, 8, lo=r0, hi=0.9)
+        fn_pair, fn_elem = pairwise_hyp_cone_energy, hyp_cone_energy
+    u, v = u.astype(np.float32), v.astype(np.float32)
+    pw = np.asarray(fn_pair(jnp.array(u), jnp.array(v)))
+    for i in [0, 16, 32]:
+        row = np.asarray(
+            fn_elem(jnp.broadcast_to(jnp.array(u[i]), v.shape), jnp.array(v)))
+        # Gram-matrix f32 vs direct-difference f32: acos near its clamp
+        # amplifies ~1e-6 argument noise by 1/sqrt(1-arg²)
+        np.testing.assert_allclose(pw[i], row, rtol=2e-3, atol=2e-3)
+
+
+def test_energy_gradients_finite():
+    r0 = inner_radius(0.1)
+    x = jnp.array(ball_points(16, 6, lo=r0, hi=0.9))
+    y = jnp.array(ball_points(16, 6, lo=r0, hi=0.9))
+
+    def loss(x, y):
+        return jnp.sum(hyp_cone_energy(x, y))
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(gy)).all()
