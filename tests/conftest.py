@@ -9,6 +9,11 @@ import os
 # Force, don't setdefault: the ambient env sets JAX_PLATFORMS=axon (the real
 # TPU tunnel); unit tests must run on the virtual CPU mesh for speed and for
 # exact-math comparisons against the torch oracle.
+#
+# A sitecustomize force-registers the axon TPU backend in every python
+# process when PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS — blank
+# it out so the register is skipped and the cpu platform actually wins.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -16,3 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The sitecustomize imports jax at interpreter startup (before this file),
+# so the env vars above may be too late for jax.config — override the
+# already-initialized config as well. Backends are created lazily at the
+# first computation, so this still wins as long as no test ran yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
