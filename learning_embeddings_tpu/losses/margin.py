@@ -1,0 +1,154 @@
+"""Margin edge losses + static-shape negative sampling for embeddings.
+
+The reference samples corrupted edges inside the training loop with a
+python loop over the batch and `np.where` on a boolean negative-adjacency
+row/column (order_embeddings.py:886-916 — SURVEY.md ranks this the #1 hard
+part). Here sampling is a single `jax.random.categorical` over masked
+uniform logits — exact same distribution (uniform over each node's negative
+candidates, optionally restricted to one level per pass index), fully on
+device, with static shapes.
+
+Loss (OrderEmbeddingLoss.forward semantics, order_embeddings.py:842-921):
+
+  train:  Σ_pos w_pos·E(u, v)  +  Σ_neg w_neg·max(0, α − E(u', v'))
+  eval:   same but over the dataset's pre-generated positives/negatives,
+          split by a status flag.
+
+Negative layout parity: for batch item i and pass r ∈ [0, R):
+slot 2R·i + r       = (u_i, corrupted v), slot 2R·i + R + r = (corrupted u, v_i).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import ENERGY_FNS
+
+__all__ = [
+    "NegativeSampler",
+    "make_negative_sampler",
+    "margin_loss",
+    "eval_edge_energies",
+    "level_weights_for_nodes",
+]
+
+
+class NegativeSampler(NamedTuple):
+    """Jittable sampler: (key, pos_from, pos_to) -> (neg_from, neg_to)."""
+
+    sample: Callable
+    neg_to_pos_ratio: int
+
+
+def make_negative_sampler(
+    negatives: np.ndarray,
+    neg_to_pos_ratio: int,
+    *,
+    level_of_node: Optional[np.ndarray] = None,
+    level_start: Optional[np.ndarray] = None,
+    level_stop: Optional[np.ndarray] = None,
+    pick_per_level: bool = False,
+) -> NegativeSampler:
+    """Build a sampler over a boolean negative adjacency.
+
+    negatives: (n, n) bool, True where (i, j) is a negative pair.
+    pick_per_level: restrict the corrupted node of pass r to level
+    r % n_levels (reference sample_negative_edge, order_embeddings.py:797-817);
+    rows with no candidate at that level fall back to the unrestricted row
+    (the reference would crash there; no such case exists in its data)."""
+    neg = jnp.asarray(np.asarray(negatives, bool))
+    n = neg.shape[0]
+    R = int(neg_to_pos_ratio)
+
+    if pick_per_level:
+        n_levels = len(level_start)
+        starts = np.asarray(level_start)
+        stops = np.asarray(level_stop)
+        node_ix = np.arange(n)
+        level_masks = np.stack(
+            [(node_ix >= starts[l]) & (node_ix < stops[l]) for l in range(n_levels)]
+        )  # (L, n) — nodes beyond the labelmap (e.g. images) are never
+        #             selected by a per-level pass, matching the reference's
+        #             level_start/stop index test.
+        pass_mask = jnp.asarray(level_masks[np.arange(R) % n_levels])  # (R, n)
+    else:
+        pass_mask = jnp.ones((R, n), bool)
+
+    def _sample_rows(key, row_mask):
+        """row_mask: (B, R, n) bool -> (B, R) uniform category samples."""
+        has_any = jnp.any(row_mask, axis=-1, keepdims=True)
+        safe = jnp.where(has_any, row_mask, True)
+        logits = jnp.where(safe, 0.0, -jnp.inf)
+        return jax.random.categorical(key, logits, axis=-1)
+
+    @jax.jit
+    def sample(key, pos_from, pos_to):
+        B = pos_from.shape[0]
+        k1, k2 = jax.random.split(key)
+        # corrupt the 'to' side: candidates = negatives[u, :] ∩ level(pass)
+        rows_u = neg[pos_from][:, None, :] & pass_mask[None]     # (B, R, n)
+        corrupted_to = _sample_rows(k1, rows_u)                   # (B, R)
+        # corrupt the 'from' side: candidates = negatives[:, v] ∩ level(pass)
+        cols_v = neg.T[pos_to][:, None, :] & pass_mask[None]
+        corrupted_from = _sample_rows(k2, cols_v)
+        # layout: (B, 2R): [u_i fixed passes | corrupted-from passes]
+        nf = jnp.concatenate(
+            [jnp.broadcast_to(pos_from[:, None], (B, R)), corrupted_from], axis=1)
+        nt = jnp.concatenate(
+            [corrupted_to, jnp.broadcast_to(pos_to[:, None], (B, R))], axis=1)
+        return nf.reshape(-1), nt.reshape(-1)
+
+    return NegativeSampler(sample=sample, neg_to_pos_ratio=R)
+
+
+def level_weights_for_nodes(nodes, level_stop: np.ndarray, level_weights) -> jnp.ndarray:
+    """Per-edge weight from the level of the `to` node (reference
+    get_level_weight_for_edge, order_embeddings.py:835-841). Nodes beyond
+    the last level boundary (images) get weight 1."""
+    stops = jnp.asarray(np.asarray(level_stop))
+    lw = jnp.asarray(np.asarray(level_weights, np.float32))
+    level = jnp.searchsorted(stops, nodes, side="right")
+    in_range = level < lw.shape[0]
+    return jnp.where(in_range, lw[jnp.minimum(level, lw.shape[0] - 1)], 1.0)
+
+
+def margin_loss(
+    emb_pos_from,
+    emb_pos_to,
+    emb_neg_from,
+    emb_neg_to,
+    *,
+    energy: str,
+    alpha: float,
+    pos_weights=None,
+    neg_weights=None,
+    **energy_kw,
+):
+    """Training loss: Σ w⁺·E⁺ + Σ w⁻·max(0, α − E⁻).
+
+    Returns (loss, (e_pos, e_neg)) — the energies feed the threshold sweep
+    exactly like the reference's e_for_u_v_{positive,negative} returns."""
+    efn = ENERGY_FNS[energy]
+    e_pos = efn(emb_pos_from, emb_pos_to, **energy_kw)
+    e_neg = efn(emb_neg_from, emb_neg_to, **energy_kw)
+    pw = 1.0 if pos_weights is None else pos_weights
+    nw = 1.0 if neg_weights is None else neg_weights
+    loss = jnp.sum(pw * e_pos) + jnp.sum(nw * jnp.maximum(alpha - e_neg, 0.0))
+    return loss, (e_pos, e_neg)
+
+
+def eval_edge_energies(emb_from, emb_to, status, *, energy: str, alpha: float,
+                       **energy_kw):
+    """Eval-phase loss and energy split by status flag (1 = positive edge)
+    (reference order_embeddings.py:852-869)."""
+    efn = ENERGY_FNS[energy]
+    e = efn(emb_from, emb_to, **energy_kw)
+    is_pos = status == 1
+    loss = (jnp.sum(jnp.where(is_pos, e, 0.0))
+            + jnp.sum(jnp.where(is_pos, 0.0, jnp.maximum(alpha - e, 0.0))))
+    return loss, e, is_pos

@@ -1,0 +1,119 @@
+"""End-to-end toy-hierarchy embedding training (SURVEY.md §4.3: the
+reference's de-facto integration test — embed_toy converging to perfect
+reconstruction)."""
+
+import numpy as np
+import pytest
+
+from learning_embeddings_tpu.hierarchy import (
+    label_graph_from_paths,
+    split_edges,
+    toy_labelmap,
+)
+from learning_embeddings_tpu.train.embedding import (
+    EmbeddingTrainer,
+    EmbeddingTrainerConfig,
+)
+
+
+def toy_splits(branching=2, n_levels=3):
+    lm = toy_labelmap(branching=branching, n_levels=n_levels)
+    A = label_graph_from_paths(lm.leaf_paths(), lm)
+    return lm, split_edges(A, proportion_of_nb_edges_in_train=1.0,
+                           val_frac=0.0, test_frac=0.0)
+
+
+def run(lm, splits, cfg, epochs):
+    tr = EmbeddingTrainer(lm, splits, cfg)
+    rng = np.random.RandomState(0)
+    for _ in range(epochs):
+        stats = tr.train_epoch(rng)
+    return tr, stats
+
+
+def test_order_embedding_perfect_reconstruction():
+    lm, splits = toy_splits()
+    cfg = EmbeddingTrainerConfig(energy="order", embedding_dim=4, lr=0.01,
+                                 batch_size=10, neg_to_pos_ratio=5,
+                                 alpha=1.0, optimizer="adam", seed=0)
+    tr, stats = run(lm, splits, cfg, 300)
+    rec = tr.reconstruction()
+    assert float(rec.f1) == 1.0
+    assert stats["e_pos_mean"] < 0.05
+
+
+def test_hyp_cone_embedding_perfect_reconstruction():
+    lm, splits = toy_splits()
+    cfg = EmbeddingTrainerConfig(energy="hyp_cone", embedding_dim=2, lr=0.03,
+                                 batch_size=10, neg_to_pos_ratio=5,
+                                 alpha=0.01, optimizer="adam",
+                                 pick_per_level=True, seed=0)
+    tr, stats = run(lm, splits, cfg, 400)
+    rec = tr.reconstruction()
+    assert float(rec.f1) == 1.0
+    # hybrid adam path must keep embeddings inside the annulus
+    emb = np.asarray(tr.all_embeddings())
+    norms = np.linalg.norm(emb, axis=1)
+    assert (norms <= 1.0 - 1e-6).all()
+
+
+def test_euc_cone_embedding_learns():
+    lm, splits = toy_splits()
+    cfg = EmbeddingTrainerConfig(energy="euc_cone", embedding_dim=2, lr=0.1,
+                                 batch_size=10, neg_to_pos_ratio=5,
+                                 alpha=0.01, optimizer="adam",
+                                 pick_per_level=True, seed=0)
+    tr, stats = run(lm, splits, cfg, 300)
+    rec = tr.reconstruction()
+    assert float(rec.f1) > 0.85
+    # euclidean-cone embeddings live outside radius K = 3
+    emb = np.asarray(tr.all_embeddings())
+    assert (np.linalg.norm(emb, axis=1) >= 3.0 - 1e-4).all()
+
+
+def test_val_threshold_calibration_and_test_reuse():
+    lm = toy_labelmap(branching=3, n_levels=3)
+    from learning_embeddings_tpu.hierarchy import label_graph_from_paths, split_edges
+    A = label_graph_from_paths(lm.leaf_paths(), lm)
+    splits = split_edges(A, proportion_of_nb_edges_in_train=0.5,
+                         val_frac=0.15, test_frac=0.15, seed=0)
+    assert len(splits.val) > 0 and len(splits.test) > 0
+    cfg = EmbeddingTrainerConfig(energy="order", embedding_dim=4, lr=0.01,
+                                 batch_size=10, neg_to_pos_ratio=3,
+                                 alpha=1.0, optimizer="adam", seed=0)
+    tr, _ = run(lm, splits, cfg, 400)
+    val = tr.evaluate("val")
+    assert tr.optimal_threshold is not None
+    test = tr.evaluate("test")
+    assert float(test.threshold) == pytest.approx(tr.optimal_threshold)
+    # val sweeps its own best threshold; test (4 held-out edges — high
+    # variance) just has to beat chance at the reused threshold
+    assert float(val.f1) > 0.8 and float(test.f1) > 0.4
+
+
+def test_negative_sampler_only_samples_negatives():
+    import jax
+    import jax.numpy as jnp
+    from learning_embeddings_tpu.losses.margin import make_negative_sampler
+
+    lm, splits = toy_splits(branching=3, n_levels=3)
+    sampler = make_negative_sampler(
+        splits.negatives, 4,
+        level_start=lm.level_start, level_stop=lm.level_stop,
+        pick_per_level=True)
+    edges = splits.train
+    nf, nt = sampler.sample(jax.random.PRNGKey(0),
+                            jnp.asarray(edges[:, 0]), jnp.asarray(edges[:, 1]))
+    nf, nt = np.asarray(nf), np.asarray(nt)
+    assert splits.negatives[nf, nt].all(), "sampled a non-negative pair"
+    # layout parity: first R slots of each group keep the 'from' node
+    R = 4
+    B = len(edges)
+    nf2 = nf.reshape(B, 2 * R)
+    np.testing.assert_array_equal(nf2[:, :R], np.repeat(edges[:, :1], R, 1))
+    nt2 = nt.reshape(B, 2 * R)
+    np.testing.assert_array_equal(nt2[:, R:], np.repeat(edges[:, 1:], R, 1))
+    # per-level pick: corrupted 'to' of pass r lives at level r % L
+    lvl = lm.level_of_global()
+    for r in range(R):
+        assert (lvl[nt2[:, r]] == r % lm.n_levels).all()

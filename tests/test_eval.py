@@ -1,0 +1,138 @@
+"""Eval tests: threshold sweep vs brute-force oracle of the reference's
+calculate_best (order_embeddings.py:258-271); level metrics vs sklearn."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import precision_recall_fscore_support
+
+import jax.numpy as jnp
+
+from learning_embeddings_tpu.eval import (
+    best_threshold_metrics,
+    hierarchical_match_counts,
+    multilevel_metrics,
+    reconstruction_metrics,
+    threshold_metrics,
+)
+from learning_embeddings_tpu.hierarchy import (
+    label_graph_from_paths,
+    toy_labelmap,
+    transitive_closure,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def brute_force_best(e_pos, e_neg):
+    """The reference's sweep: F1 at every unique energy, argmax (first)."""
+    cands = np.unique(np.concatenate([e_pos, e_neg]))
+    best = None
+    for t in cands:
+        cp = int((e_pos <= t).sum())
+        cn = int((e_neg > t).sum())
+        acc = (cp + cn) / (len(e_pos) + len(e_neg))
+        den = cp + (len(e_neg) - cn)
+        prec = cp / den if den > 0 else 0.0
+        rec = cp / len(e_pos)
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        if best is None or f1 > best[0]:
+            best = (f1, t, acc, prec, rec, cp, cn)
+    return best
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_best_threshold_vs_brute_force(seed):
+    rng = np.random.RandomState(seed)
+    e_pos = rng.gamma(2.0, 0.5, size=200).astype(np.float32)
+    e_neg = (rng.gamma(2.0, 0.5, size=300) + 0.8).astype(np.float32)
+    ours = best_threshold_metrics(jnp.array(e_pos), jnp.array(e_neg))
+    ref = brute_force_best(e_pos, e_neg)
+    np.testing.assert_allclose(float(ours.f1), ref[0], rtol=1e-6)
+    np.testing.assert_allclose(float(ours.threshold), ref[1], rtol=1e-6)
+    np.testing.assert_allclose(float(ours.accuracy), ref[2], rtol=1e-6)
+    np.testing.assert_allclose(float(ours.precision), ref[3], rtol=1e-6)
+    np.testing.assert_allclose(float(ours.recall), ref[4], rtol=1e-6)
+    assert int(ours.correct_positives) == ref[5]
+    assert int(ours.correct_negatives) == ref[6]
+
+
+def test_best_threshold_with_ties():
+    # duplicated energies across pos/neg exercise the <=/> tie rule
+    e_pos = np.array([0.1, 0.2, 0.2, 0.5], np.float32)
+    e_neg = np.array([0.2, 0.5, 0.9], np.float32)
+    ours = best_threshold_metrics(jnp.array(e_pos), jnp.array(e_neg))
+    ref = brute_force_best(e_pos, e_neg)
+    assert float(ours.f1) == pytest.approx(ref[0])
+    assert float(ours.threshold) == pytest.approx(ref[1])
+
+
+def test_fixed_threshold_metrics():
+    e_pos = np.array([0.1, 0.3, 0.6], np.float32)
+    e_neg = np.array([0.2, 0.7, 0.9], np.float32)
+    m = threshold_metrics(jnp.array(e_pos), jnp.array(e_neg), 0.3)
+    # cp = 2 (0.1, 0.3), cn = 2 (0.7, 0.9)
+    assert int(m.correct_positives) == 2 and int(m.correct_negatives) == 2
+    assert float(m.accuracy) == pytest.approx(4 / 6)
+    assert float(m.precision) == pytest.approx(2 / 3)
+    assert float(m.recall) == pytest.approx(2 / 3)
+
+
+def test_perfect_separation_gives_f1_one():
+    e_pos = RNG.uniform(0, 0.4, 100).astype(np.float32)
+    e_neg = RNG.uniform(0.6, 1.0, 120).astype(np.float32)
+    m = best_threshold_metrics(jnp.array(e_pos), jnp.array(e_neg))
+    assert float(m.f1) == 1.0
+    assert 0.4 >= float(m.threshold) or float(m.threshold) < 0.6
+
+
+def test_reconstruction_on_ideal_order_embedding():
+    """Hand-placed order embeddings that perfectly encode a toy closure
+    reconstruct with F1 = 1.0 (the reference's convergence criterion)."""
+    lm = toy_labelmap(branching=2, n_levels=3)
+    A = label_graph_from_paths(lm.leaf_paths(), lm)
+    closure = transitive_closure(A)
+    n = lm.n_classes
+    # order embedding: x dominates y iff edge; use reversed-product coding:
+    # assign each node coordinates = 1 - eps*depth along its path dims
+    # Simple constructive: embedding[u] = indicator of ancestors-of-u scaled.
+    emb = np.zeros((n, n), np.float32)
+    for v in range(n):
+        anc = closure[:, v]
+        emb[v, anc] = 1.0   # v's coords dominate its ancestors' patterns
+        emb[v, v] = 1.0
+    # E(u,v) = ||max(0, u - v)||²: zero iff u's support ⊆ v's support, i.e.
+    # ancestors(u) ∪ {u} ⊆ ancestors(v) ∪ {v} — true iff u is ancestor of v.
+    m = reconstruction_metrics(jnp.array(emb), closure, energy="order")
+    assert float(m.f1) == 1.0
+    assert float(m.accuracy) == 1.0
+
+
+def test_multilevel_metrics_vs_sklearn():
+    lm = toy_labelmap(branching=3, n_levels=3)
+    N = 200
+    paths = lm.leaf_paths()
+    ll = paths[RNG.randint(0, lm.levels[-1], N)]
+    scores = RNG.randn(N, lm.n_classes).astype(np.float32)
+    out = multilevel_metrics(scores, ll, lm)
+    for l in range(lm.n_levels):
+        a, b = int(lm.level_start[l]), int(lm.level_stop[l])
+        pred = np.argmax(scores[:, a:b], axis=1)
+        p, r, f1, _ = precision_recall_fscore_support(
+            ll[:, l], pred, average="macro", labels=np.arange(b - a),
+            zero_division=0)
+        lv = out["levels"][l]
+        np.testing.assert_allclose(lv.precision_macro, p, rtol=1e-6)
+        np.testing.assert_allclose(lv.recall_macro, r, rtol=1e-6)
+        np.testing.assert_allclose(lv.f1_macro, f1, rtol=1e-6)
+        np.testing.assert_allclose(lv.accuracy, (pred == ll[:, l]).mean(), rtol=1e-6)
+
+
+def test_hierarchical_match_counts():
+    lm = toy_labelmap(branching=2, n_levels=2)
+    ll = np.array([[0, 0], [1, 3]], np.int32)
+    scores = np.full((2, lm.n_classes), -1.0, np.float32)
+    scores[0, [0, 2]] = 5.0        # exact match for sample 0
+    scores[1, [1, 2]] = 5.0        # level-0 correct, level-1 wrong
+    m = hierarchical_match_counts(scores, ll, lm)
+    assert m["exact_match"] == 1
+    assert m["per_level_match"] == [2, 1]

@@ -1,0 +1,106 @@
+"""Riemannian SGD tests vs a torch oracle of the reference update
+(order_embeddings_h.py:765-778)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from learning_embeddings_tpu.geometry import (
+    hyp_cone_energy,
+    inner_radius,
+)
+from learning_embeddings_tpu.optim.rsgd import (
+    project_annulus_tree,
+    riemannian_sgd,
+    scale_by_conformal_factor,
+)
+
+K = 0.1
+R0 = inner_radius(K)
+RNG = np.random.RandomState(0)
+
+
+def torch_rsgd_step(w, g, lr):
+    """Reference update: grad·(1/λ)², then exp-map via mob_add."""
+    w = torch.tensor(w)
+    g = torch.tensor(g)
+    lam = 2.0 / (1 - torch.norm(w, p=2, dim=1, keepdim=True))
+    g = g * (1.0 / lam) ** 2
+    v = -lr * g + 1e-15
+    norm_v = torch.norm(v, p=2, dim=1, keepdim=True)
+    lam_x = 2.0 / (1 - torch.norm(w, p=2, dim=1, keepdim=True))
+    second = torch.tanh(torch.clamp(lam_x * norm_v / 2, -15.0, 15.0)) * v / norm_v
+    # mob_add(w, second) with v_offset 1e-6 and annulus clip
+    u, vv = w, second + 1e-6
+    dot2 = 2 * torch.sum(u * vv, dim=1, keepdim=True)
+    nu = torch.sum(u * u, dim=1, keepdim=True)
+    nv = torch.sum(vv * vv, dim=1, keepdim=True)
+    den = 1 + dot2 + nv * nu
+    out = (1 + dot2 + nv) / den * u + (1 - nu) / den * vv
+    n = torch.norm(out, dim=1, keepdim=True)
+    out = torch.where(n <= R0, out / n * R0, out)
+    n = torch.norm(out, dim=1, keepdim=True)
+    out = torch.where(n >= 1.0, out / n * (1 - 1e-5), out)
+    return out.numpy()
+
+
+def ball_points(n, d):
+    x = RNG.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x * RNG.uniform(R0, 0.9, (n, 1)).astype(np.float32)
+
+
+def test_rsgd_step_matches_reference_update():
+    w = ball_points(16, 8)
+    g = (0.5 * RNG.randn(16, 8)).astype(np.float32)
+    lr = 0.1
+    tx = riemannian_sgd(lr, K)
+    state = tx.init({"e": jnp.array(w)})
+    updates, _ = tx.update({"e": jnp.array(g)}, state, {"e": jnp.array(w)})
+    new_w = np.asarray(optax.apply_updates({"e": jnp.array(w)}, updates)["e"])
+    ref = torch_rsgd_step(w, g, lr)
+    np.testing.assert_allclose(new_w, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_rsgd_descends_cone_energy():
+    """One positive pair: RSGD drives E(u, v) to ~0 and stays in the ball."""
+    uv = jnp.array([[0.2, 0.05], [0.05, 0.25]], jnp.float32)
+    tx = riemannian_sgd(0.1, K)
+    state = tx.init(uv)
+
+    def loss(x):
+        return hyp_cone_energy(x[0:1], x[1:2])[0]
+
+    e0 = float(loss(uv))
+    for _ in range(100):
+        g = jax.grad(loss)(uv)
+        updates, state = tx.update(g, state, uv)
+        uv = optax.apply_updates(uv, updates)
+    assert float(loss(uv)) < min(1e-3, e0)
+    norms = np.linalg.norm(np.asarray(uv), axis=1)
+    assert (norms < 1.0).all() and (norms >= R0 - 1e-6).all()
+
+
+def test_conformal_rescale_chain_with_adam():
+    """The hybrid path: rescale → adam → annulus projection keeps params in
+    the annulus and reduces loss (oe_h.py:1757-1771)."""
+    w = {"e": jnp.array(ball_points(8, 4))}
+    tx = optax.chain(scale_by_conformal_factor(), optax.adam(0.01))
+    state = tx.init(w)
+    target = jnp.array(ball_points(8, 4))
+
+    def loss(p):
+        return jnp.sum((p["e"] - target) ** 2)
+
+    l0 = float(loss(w))
+    for _ in range(50):
+        g = jax.grad(loss)(w)
+        updates, state = tx.update(g, state, w)
+        w = optax.apply_updates(w, updates)
+        w = project_annulus_tree(w, K)
+    assert float(loss(w)) < l0
+    norms = np.linalg.norm(np.asarray(w["e"]), axis=1)
+    assert (norms <= 1.0 - 1e-6).all() and (norms >= R0 - 1e-6).all()
