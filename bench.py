@@ -1,0 +1,77 @@
+"""Headline benchmark: ETHEC ResNet-50 hierarchical training throughput.
+
+Measures steady-state images/sec of the full jitted training step
+(ResNet-50 multi-head @ 448², bf16 compute, MultiLevelCE over the real
+6/21/135/561 ETHEC taxonomy, adam) on the attached TPU chip with synthetic
+input batches (isolates device throughput from host IO, which the driver
+benches separately).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference never measures throughput (BASELINE.md); the
+comparison point is the driver-set north star — PyTorch ResNet-50@448 AMP
+training on one A100 ≈ 500 images/sec (scaled from canonical ~2000 img/s
+@224 benchmarks; 4× pixels) — so vs_baseline = value / 500, and the 3×
+target of BASELINE.json corresponds to vs_baseline ≥ 3.0.
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 500.0  # A100 PyTorch AMP ResNet-50 @448 train (est.)
+
+
+def main(batch_size: int = 128, steps: int = 20, warmup: int = 3):
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _ethec_labelmap
+    from learning_embeddings_tpu.train.classifier import (
+        ClassifierConfig, ClassifierTrainer)
+
+    labelmap = _ethec_labelmap()
+    cfg = ClassifierConfig(backbone="resnet50", criterion="multi_level_ce",
+                           lr=1e-5, optimizer="adam", image_size=448,
+                           batch_size=batch_size, seed=0)
+    trainer = ClassifierTrainer(labelmap, cfg, mesh=None)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(batch_size, 448, 448, 3).astype(np.float32))
+    paths = labelmap.leaf_paths()
+    ll = jnp.asarray(
+        paths[rng.randint(0, labelmap.levels[-1], batch_size)].astype(np.int32))
+    multihot = jnp.zeros((batch_size, labelmap.n_classes), jnp.float32)
+
+    state = trainer.state
+    for _ in range(warmup):
+        state, loss = trainer.train_step(state, images, ll, multihot)
+    _ = float(loss)  # value fetch: block_until_ready does not reliably
+    #                  synchronize through the axon remote-execution tunnel
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = trainer.train_step(state, images, ll, multihot)
+    _ = float(loss)  # forces the whole step chain (loss_N <- state_{N-1})
+    dt = time.perf_counter() - t0
+
+    ips = batch_size * steps / dt
+    print(json.dumps({
+        "metric": "ETHEC ResNet-50@448 multi-level-CE train throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    import sys
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    main(batch_size=bs)

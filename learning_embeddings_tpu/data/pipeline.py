@@ -1,0 +1,157 @@
+"""Host-side input pipeline: decode → augment → batch → prefetch.
+
+Replaces the reference's torchvision/DataLoader stack (transforms at
+ethec_experiments.py:263-291; cv2 reads in ETHECDB.__getitem__,
+db.py:3792-3798; worker processes) with a thread-pool decode pipeline
+(cv2 releases the GIL) and a device-prefetch queue:
+
+train:  resize (S+64, S+64) → random crop (S, S) → random hflip → /255
+eval:   resize (S, S) → /255
+grayscale variant: grayscale → resize (S, S) → (train: hflip) → /255
+
+Output batches are NHWC float32 in [0, 1] (the reference's ToTensor scale;
+normalization was commented out upstream and stays off by default, with
+optional mean/std for parity experiments).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    from PIL import Image
+
+    _HAS_CV2 = False
+
+__all__ = ["ImagePipeline", "decode_image", "augment_train", "augment_eval"]
+
+
+def decode_image(path: str, grayscale: bool = False) -> np.ndarray:
+    """HWC uint8, RGB (or HW1 grayscale)."""
+    if _HAS_CV2:
+        flag = cv2.IMREAD_GRAYSCALE if grayscale else cv2.IMREAD_COLOR
+        img = cv2.imread(path, flag)
+        if img is None:
+            raise FileNotFoundError(path)
+        if grayscale:
+            return img[..., None]
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    img = Image.open(path)  # pragma: no cover
+    img = img.convert("L" if grayscale else "RGB")
+    arr = np.asarray(img)
+    return arr[..., None] if grayscale else arr
+
+
+def _resize(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    if _HAS_CV2:
+        out = cv2.resize(img, (hw[1], hw[0]), interpolation=cv2.INTER_LINEAR)
+        return out[..., None] if out.ndim == 2 else out
+    from PIL import Image  # pragma: no cover
+
+    return np.asarray(Image.fromarray(img.squeeze()).resize((hw[1], hw[0])))
+
+
+def augment_train(img: np.ndarray, size: int, rng: np.random.RandomState,
+                  initial_pad: int = 64) -> np.ndarray:
+    """resize (S+64)² → random crop S² → random hflip (train transforms,
+    ethec_experiments.py:263-271)."""
+    big = _resize(img, (size + initial_pad, size + initial_pad))
+    y = rng.randint(0, initial_pad + 1)
+    x = rng.randint(0, initial_pad + 1)
+    crop = big[y:y + size, x:x + size]
+    if rng.rand() < 0.5:
+        crop = crop[:, ::-1]
+    return crop
+
+
+def augment_eval(img: np.ndarray, size: int) -> np.ndarray:
+    return _resize(img, (size, size))
+
+
+class ImagePipeline:
+    """Threaded decode+augment over an EncodedDataset; yields NHWC float32
+    batches with (level_labels, multihot). Order comes from a caller-supplied
+    index sampler (shuffle / weighted resampling)."""
+
+    def __init__(self, dataset, labelmap, image_root: str, *,
+                 image_size: int = 448, batch_size: int = 64,
+                 train: bool = True, grayscale: bool = False,
+                 num_workers: int = 8, prefetch: int = 4,
+                 normalize: Optional[Tuple[Sequence[float], Sequence[float]]] = None):
+        self.ds = dataset
+        self.labelmap = labelmap
+        self.image_root = image_root
+        self.size = image_size
+        self.bs = batch_size
+        self.train = train
+        self.grayscale = grayscale
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.normalize = normalize
+        self._multihot = dataset.multihot(labelmap)
+
+    def __len__(self):
+        return len(self.ds) // self.bs if self.train else -(-len(self.ds) // self.bs)
+
+    def _load_one(self, i: int, seed: int) -> np.ndarray:
+        img = decode_image(os.path.join(self.image_root, self.ds.image_paths[i]),
+                           self.grayscale)
+        if self.train:
+            img = augment_train(img, self.size, np.random.RandomState(seed))
+        else:
+            img = augment_eval(img, self.size)
+        out = img.astype(np.float32) / 255.0
+        if self.normalize is not None:
+            mean, std = self.normalize
+            out = (out - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+        return out
+
+    def batches(self, order: np.ndarray, seed: int = 0) -> Iterator[dict]:
+        """Yield batches following `order` (precomputed index sequence).
+        Training drops the ragged tail (DataLoader drop_last parity is off —
+        the reference keeps it; we keep full batches for static shapes and
+        resample the tail into the next epoch via the sampler)."""
+        bs = self.bs
+        n_batches = len(order) // bs if self.train else -(-len(order) // bs)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idx = order[b * bs:(b + 1) * bs]
+                    imgs = list(pool.map(
+                        lambda t: self._load_one(t[1], seed * 1_000_003 + t[0]),
+                        enumerate(idx, start=b * bs)))
+                    batch = {
+                        "image": np.stack(imgs),
+                        "level_labels": self.ds.level_labels[idx],
+                        "leaf_labels": self.ds.leaf_labels[idx],
+                        "multihot": self._multihot[idx],
+                        "index": np.asarray(idx),
+                    }
+                    out_q.put(batch)
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,231 @@
+"""ResNet family in Flax, TPU-first.
+
+Replaces the reference's torchvision backbone zoo (finetuner.py:117-128:
+alexnet / vgg11_bn / resnet18/50/101/152, always ``pretrained=True``) with
+native Flax implementations:
+
+* NHWC layout (TPU native), bf16 compute / f32 params & batch stats,
+* BatchNorm with torch semantics (momentum 0.1 → flax momentum 0.9,
+  eps 1e-5) so imported torchvision weights behave identically,
+* `num_input_channels=1` reproduces the grayscale conv1 surgery
+  (ethec_experiments.py:222-238),
+* `features_only=True` returns the pooled trunk features (the reference's
+  `fc = Identity()` trick for fc7 extraction, order_embeddings_images.py:123).
+
+Weight import from torchvision checkpoints is in models/torch_import.py
+(gated: torchvision is not installed in this image; random init otherwise).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "ResNet",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
+    "resnet152",
+    "BACKBONES",
+]
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+    norm: ModuleDef = None
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters, (1, 1),
+                               (self.strides, self.strides), use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+    norm: ModuleDef = None
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters * 4, (1, 1),
+                               (self.strides, self.strides), use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Trunk + optional classification head.
+
+    Returns logits (num_classes set) or pooled features (features_only)."""
+
+    stage_sizes: Sequence[int]
+    block: type
+    num_classes: Optional[int] = None
+    num_input_channels: int = 3
+    dtype: Any = jnp.bfloat16
+    features_only: bool = False
+
+    @property
+    def feature_dim(self) -> int:
+        width = 512
+        return width * (4 if self.block is Bottleneck else 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = functools.partial(
+            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+        for i, n_blocks in enumerate(self.stage_sizes):
+            for j in range(n_blocks):
+                strides = 2 if i > 0 and j == 0 else 1
+                x = self.block(filters=64 * 2**i, strides=strides,
+                               dtype=self.dtype, norm=norm,
+                               name=f"layer{i+1}_{j}")(x)
+        x = jnp.mean(x, axis=(1, 2))          # global average pool
+        x = x.astype(jnp.float32)
+        if self.features_only or self.num_classes is None:
+            return x
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+
+
+def resnet18(**kw):
+    return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock, **kw)
+
+
+def resnet34(**kw):
+    return ResNet(stage_sizes=(3, 4, 6, 3), block=BasicBlock, **kw)
+
+
+def resnet50(**kw):
+    return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck, **kw)
+
+
+def resnet101(**kw):
+    return ResNet(stage_sizes=(3, 4, 23, 3), block=Bottleneck, **kw)
+
+
+def resnet152(**kw):
+    return ResNet(stage_sizes=(3, 8, 36, 3), block=Bottleneck, **kw)
+
+
+class AlexNet(nn.Module):
+    """Compact AlexNet-shaped backbone (reference zoo parity,
+    finetuner.py:117-118)."""
+
+    num_classes: Optional[int] = None
+    num_input_channels: int = 3
+    dtype: Any = jnp.bfloat16
+    features_only: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        for filters, kernel, stride, pool in [
+            (64, 11, 4, True), (192, 5, 1, True), (384, 3, 1, False),
+            (256, 3, 1, False), (256, 3, 1, True),
+        ]:
+            pad = kernel // 2
+            x = nn.Conv(filters, (kernel, kernel), (stride, stride),
+                        padding=[(pad, pad), (pad, pad)], dtype=self.dtype)(x)
+            x = nn.relu(x)
+            if pool:
+                x = nn.max_pool(x, (3, 3), (2, 2))
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        x = nn.relu(nn.Dense(4096, dtype=jnp.float32)(x))
+        x = nn.relu(nn.Dense(4096, dtype=jnp.float32)(x))
+        if self.features_only or self.num_classes is None:
+            return x
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+
+    @property
+    def feature_dim(self):
+        return 4096
+
+
+class VGG11BN(nn.Module):
+    """VGG-11 with batch norm (reference zoo parity, finetuner.py:119-120)."""
+
+    num_classes: Optional[int] = None
+    num_input_channels: int = 3
+    dtype: Any = jnp.bfloat16
+    features_only: bool = False
+
+    CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = functools.partial(
+            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        x = x.astype(self.dtype)
+        for v in self.CFG:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), (2, 2))
+            else:
+                x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)],
+                            use_bias=False, dtype=self.dtype)(x)
+                x = norm()(x)
+                x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        if self.features_only or self.num_classes is None:
+            return x
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+
+    @property
+    def feature_dim(self):
+        return 512
+
+
+BACKBONES: dict = {
+    "alexnet": AlexNet,
+    "vgg11_bn": VGG11BN,
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+    "resnet101": resnet101,
+    "resnet152": resnet152,
+}

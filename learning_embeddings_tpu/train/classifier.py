@@ -1,0 +1,242 @@
+"""Multi-head CNN classifier trainer (the reference's CIFAR10/Finetuner
+runtime, finetuner.py:89-375, redesigned around one jitted train step).
+
+Criterion dispatch mirrors the reference's isinstance switches
+(finetuner.py:142-174 head surgery, :227-238 forward dispatch):
+
+| criterion        | head         | eval scores                     |
+|------------------|--------------|---------------------------------|
+| multi_level_ce   | multi_head   | raw logits                      |
+| last_level_ce    | leaf         | bottom-up propagated probs      |
+| masked_ce        | multi_head   | predicted-chain-masked logits   |
+| multi_label_sm   | multi_head   | raw logits                      |
+| hsoftmax         | hsoftmax     | chained log-probs               |
+
+Data parallelism: jit + NamedSharding over a ('data','model') mesh —
+params replicated (XLA inserts the gradient all-reduce), batch sharded on
+'data', optionally the wide fc kernel sharded on 'model'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..hierarchy import LabelMap
+from ..losses.classification import (
+    hierarchical_softmax_nll,
+    make_hierarchical_softmax,
+    make_last_level_ce,
+    make_masked_ce,
+    make_multi_level_ce,
+    multi_label_soft_margin,
+)
+from ..models.heads import HierarchicalCNN
+from ..parallel.mesh import batch_sharding, param_shardings, replicated
+
+CRITERIA = ("multi_level_ce", "last_level_ce", "masked_ce",
+            "multi_label_sm", "hsoftmax")
+
+CRITERION_TO_HEAD = {
+    "multi_level_ce": "multi_head",
+    "last_level_ce": "leaf",
+    "masked_ce": "multi_head",
+    "multi_label_sm": "multi_head",
+    "hsoftmax": "hsoftmax",
+}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class ClassifierConfig:
+    backbone: str = "resnet50"
+    criterion: str = "multi_level_ce"
+    lr: float = 1e-5
+    optimizer: str = "adam"            # adam | sgd (momentum 0.9)
+    lr_steps: Sequence[int] = ()       # epochs where lr ×= lr_decay
+    lr_decay: float = 0.1
+    level_weights: Optional[Sequence[float]] = None
+    class_weights: Optional[np.ndarray] = None
+    freeze_trunk: bool = False         # reference feature_extracting
+    image_size: int = 448
+    batch_size: int = 64
+    seed: int = 0
+    dtype: Any = jnp.bfloat16
+    tp_patterns: Sequence[str] = ("fc/kernel",)   # head sharded over 'model'
+
+
+def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
+    """Returns loss_and_scores(raw, level_labels, multihot) -> (loss, scores).
+
+    `scores` is what the evaluator consumes — matching which tensor the
+    reference feeds its evaluators per criterion (finetuner.py:227-260)."""
+    name = cfg.criterion
+    if name == "multi_level_ce":
+        f = make_multi_level_ce(labelmap, cfg.level_weights, cfg.class_weights)
+        return lambda raw, ll, mh: (f(raw, ll), raw)
+    if name == "last_level_ce":
+        f = make_last_level_ce(labelmap, cfg.level_weights, cfg.class_weights)
+
+        def fn(raw, ll, mh):
+            probs, loss = f(raw, ll)
+            return loss, probs
+        return fn
+    if name == "masked_ce":
+        f = make_masked_ce(labelmap, cfg.level_weights)
+
+        def fn(raw, ll, mh):
+            outputs, loss = f(raw, ll)
+            return loss, outputs
+        return fn
+    if name == "multi_label_sm":
+        w = None if cfg.class_weights is None else jnp.asarray(cfg.class_weights)
+        return lambda raw, ll, mh: (multi_label_soft_margin(raw, mh, w), raw)
+    if name == "hsoftmax":
+        norm = make_hierarchical_softmax(labelmap)
+
+        def fn(raw, ll, mh):
+            all_lp, leaf_lp = norm(raw)
+            return hierarchical_softmax_nll(leaf_lp, ll), all_lp
+        return fn
+    raise ValueError(f"unknown criterion {name!r}; expected {CRITERIA}")
+
+
+class ClassifierTrainer:
+    """Builds model/optimizer/steps; the epoch loop lives in the CLI
+    drivers (train/experiment.py provides the shared scaffolding)."""
+
+    def __init__(self, labelmap: LabelMap, cfg: ClassifierConfig,
+                 mesh=None, grayscale: bool = False):
+        self.labelmap = labelmap
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = HierarchicalCNN(
+            backbone=cfg.backbone,
+            levels=tuple(labelmap.levels),
+            head=CRITERION_TO_HEAD[cfg.criterion],
+            dtype=cfg.dtype,
+        )
+        self.criterion = make_criterion(labelmap, cfg)
+        self.n_channels = 1 if grayscale else 3
+
+        key = jax.random.PRNGKey(cfg.seed)
+        dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, self.n_channels),
+                          jnp.float32)
+        variables = self.model.init(key, dummy, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+
+        self.tx = self._make_optimizer(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        if mesh is not None:
+            shardings = TrainState(
+                step=replicated(mesh),
+                params=param_shardings(params, mesh, cfg.tp_patterns),
+                batch_stats=param_shardings(batch_stats, mesh, ()),
+                opt_state=jax.tree_util.tree_map(
+                    lambda _: replicated(mesh), state.opt_state,
+                    is_leaf=lambda x: hasattr(x, "shape")),
+            )
+            # opt_state leaves that mirror params should share their sharding;
+            # plain replication is correct for DP and for replicated adam
+            # moments of TP-sharded leaves XLA will reshard as needed.
+            state = jax.device_put(state, shardings)
+            self._state_shardings = shardings
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self._state_shardings = None
+            self._batch_sharding = None
+        self.state = state
+        self.train_step = self._build_train_step()
+        self.eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _make_optimizer(self, params):
+        cfg = self.cfg
+        if cfg.lr_steps:
+            boundaries = {int(b): cfg.lr_decay for b in cfg.lr_steps}
+            schedule = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+        else:
+            schedule = cfg.lr
+        base = (optax.adam(schedule) if cfg.optimizer == "adam"
+                else optax.sgd(schedule, momentum=0.9))
+        if cfg.freeze_trunk:
+            # reference feature_extracting: only the head trains
+            def label(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "frozen"
+                    if str(getattr(path[0], "key", path[0])) == "trunk"
+                    else "train", params)
+            return optax.multi_transform(
+                {"train": base, "frozen": optax.set_to_zero()}, label)
+        return base
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model, criterion, tx = self.model, self.criterion, self.tx
+
+        def loss_fn(params, batch_stats, images, level_labels, multihot):
+            raw, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            loss, _ = criterion(raw, level_labels, multihot)
+            return loss, mutated["batch_stats"]
+
+        def step(state: TrainState, images, level_labels, multihot):
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       images, level_labels, multihot)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 batch_stats=new_stats,
+                                 opt_state=opt_state), loss
+
+        if self.mesh is not None:
+            bs = self._batch_sharding
+            ss = self._state_shardings
+            rep = replicated(self.mesh)
+            return jax.jit(step,
+                           in_shardings=(ss, bs, bs, bs),
+                           out_shardings=(ss, rep))
+        return jax.jit(step)
+
+    def _build_eval_step(self):
+        model, criterion = self.model, self.criterion
+
+        def step(state: TrainState, images, level_labels, multihot):
+            raw = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                images, train=False)
+            loss, scores = criterion(raw, level_labels, multihot)
+            return loss, scores
+
+        if self.mesh is not None:
+            bs = self._batch_sharding
+            return jax.jit(step, in_shardings=(self._state_shardings, bs, bs, bs))
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def put_batch(self, images, level_labels, multihot):
+        to = lambda x: (jax.device_put(x, self._batch_sharding)
+                        if self._batch_sharding is not None else jnp.asarray(x))
+        return to(images), to(level_labels), to(multihot)

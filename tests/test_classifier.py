@@ -1,0 +1,102 @@
+"""Classifier trainer + sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from learning_embeddings_tpu.hierarchy import toy_labelmap
+from learning_embeddings_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)
+from learning_embeddings_tpu.train.classifier import (
+    ClassifierConfig,
+    ClassifierTrainer,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def make_batch(lm, B=8, size=32, channels=3):
+    imgs = RNG.rand(B, size, size, channels).astype(np.float32)
+    paths = lm.leaf_paths()
+    ll = paths[RNG.randint(0, lm.levels[-1], B)].astype(np.int32)
+    mh = np.zeros((B, lm.n_classes), np.float32)
+    mh[np.arange(B)[:, None], ll + np.asarray(lm.level_start)] = 1.0
+    return imgs, ll, mh
+
+
+@pytest.fixture(scope="module")
+def lm():
+    return toy_labelmap(branching=3, n_levels=3)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+@pytest.mark.parametrize("criterion", [
+    "multi_level_ce", "last_level_ce", "masked_ce", "multi_label_sm",
+    "hsoftmax"])
+def test_sharded_train_step_all_criteria(lm, criterion):
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = ClassifierConfig(backbone="resnet18", criterion=criterion,
+                           lr=1e-3, image_size=32, batch_size=8)
+    tr = ClassifierTrainer(lm, cfg, mesh=mesh)
+    batch = tr.put_batch(*make_batch(lm))
+    state, loss0 = tr.train_step(tr.state, *batch)
+    state, loss1 = tr.train_step(state, *batch)
+    assert np.isfinite(float(loss0)) and float(loss1) < float(loss0)
+    _, scores = tr.eval_step(state, *batch)
+    assert scores.shape == (8, lm.n_classes)
+
+
+def test_dp_matches_single_device(lm):
+    """The 8-way sharded step must compute the same math as unsharded."""
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=8, seed=0,
+                           dtype=jnp.float32)
+    batch_np = make_batch(lm)
+    mesh = make_mesh(n_data=8, n_model=1)
+    tr_mesh = ClassifierTrainer(lm, cfg, mesh=mesh)
+    tr_single = ClassifierTrainer(lm, cfg, mesh=None)
+    s1, l1 = tr_mesh.train_step(tr_mesh.state, *tr_mesh.put_batch(*batch_np))
+    s2, l2 = tr_single.train_step(tr_single.state, *tr_single.put_batch(*batch_np))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    k1 = np.asarray(s1.params["fc"]["kernel"])
+    k2 = np.asarray(s2.params["fc"]["kernel"])
+    np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-6)
+
+
+def test_tp_fallback_on_indivisible_dims(lm):
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {"fc": {"kernel": jnp.zeros((512, 39)), "bias": jnp.zeros((39,))}}
+    sh = param_shardings(params, mesh, ("fc/kernel",))
+    # 39 not divisible by 2 -> row-parallel on 512
+    assert sh["fc"]["kernel"].spec == jax.sharding.PartitionSpec("model", None)
+    assert sh["fc"]["bias"].spec == jax.sharding.PartitionSpec()
+
+
+def test_grayscale_input(lm):
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           image_size=32)
+    tr = ClassifierTrainer(lm, cfg, grayscale=True)
+    batch = tr.put_batch(*make_batch(lm, channels=1))
+    state, loss = tr.train_step(tr.state, *batch)
+    assert np.isfinite(float(loss))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_forward_compiles():
+    import __graft_entry__ as g
+    fn, (variables, images) = g.entry()
+    out = jax.jit(fn)(variables, images[:2])
+    assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
