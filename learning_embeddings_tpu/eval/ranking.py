@@ -1,0 +1,101 @@
+"""Joint-embedding classification metrics: rank labels per level by energy.
+
+Rebuilds `calculate_classification_metrics` (oe_h.py:1971-2178 /
+oe.py:1721-1921): embed every image and every label, compute E(label, image)
+for all pairs, and per level rank labels by ascending energy:
+
+* hit@k per level and overall,
+* per-label tp / fp / fn / tn (tn for every non-gt label at a level on a
+  correct top-1, matching oe_h.py:2039-2053),
+* micro / macro precision / recall / F1, accuracy,
+* median embedding norms.
+
+The reference loops per image with topk on one row (chunks of bs=10); here
+the energy matrix is one pairwise-kernel call and the per-level rankings are
+batched argsort — O(images) python work disappears.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry import pairwise_energy
+
+__all__ = ["joint_classification_metrics"]
+
+
+def joint_classification_metrics(
+    label_emb,
+    img_emb,
+    img_paths_global: np.ndarray,
+    labelmap,
+    energy: str = "hyp_cone",
+    ks: Sequence[int] = (1, 3, 5),
+    **energy_kw,
+) -> Dict[str, object]:
+    """label_emb: (n_labels, D); img_emb: (n_images, D);
+    img_paths_global: (n_images, L) gt ancestor (global label id) per level."""
+    E = np.asarray(pairwise_energy(energy, label_emb, img_emb, **energy_kw))
+    n_labels, n_images = E.shape
+    L = labelmap.n_levels
+    img_paths_global = np.asarray(img_paths_global)
+
+    per_label = {k: np.zeros(n_labels, np.int64)
+                 for k in ("tp", "fp", "fn", "tn")}
+    hit_at_k = {k: np.zeros(L, np.int64) for k in ks}
+    top1_per_level = np.zeros((n_images, L), np.int64)
+
+    for l in range(L):
+        a, b = int(labelmap.level_start[l]), int(labelmap.level_stop[l])
+        scores = E[a:b]                                  # (n_l, n_images)
+        order = np.argsort(scores, axis=0, kind="stable")  # ascending energy
+        gt = img_paths_global[:, l]                      # global ids
+        gt_rel = gt - a
+        ranks_needed = max(ks)
+        topk = order[:ranks_needed]                      # (K, n_images)
+        for k in ks:
+            hit_at_k[k][l] = (topk[:k] == gt_rel[None, :]).any(axis=0).sum()
+        top1 = topk[0]
+        top1_per_level[:, l] = top1 + a
+        correct = top1 == gt_rel
+        np.add.at(per_label["tp"], gt[correct], 1)
+        np.add.at(per_label["fp"], a + top1[~correct], 1)
+        np.add.at(per_label["fn"], gt[~correct], 1)
+        # tn for every other label of the level on a correct prediction
+        per_label["tn"][a:b] += int(correct.sum())
+        np.add.at(per_label["tn"], gt[correct], -1)
+
+    tp, fp, fn, tn = (per_label[k] for k in ("tp", "fp", "fn", "tn"))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        prec = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+        rec = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+        f1 = np.where(prec + rec > 0,
+                      2 * prec * rec / np.maximum(prec + rec, 1e-30), 0.0)
+    t_tp, t_fp, t_fn, t_tn = tp.sum(), fp.sum(), fn.sum(), tn.sum()
+    micro_p = t_tp / max(t_tp + t_fp, 1)
+    micro_r = t_tp / max(t_tp + t_fn, 1)
+    micro_f1 = (2 * micro_p * micro_r / (micro_p + micro_r)
+                if micro_p + micro_r > 0 else 0.0)
+
+    out: Dict[str, object] = {
+        "micro_precision": float(micro_p),
+        "micro_recall": float(micro_r),
+        "micro_f1": float(micro_f1),
+        "macro_precision": float(prec.mean()),
+        "macro_recall": float(rec.mean()),
+        "macro_f1": float(f1.mean()),
+        "accuracy": float((t_tp + t_tn) / max(t_tp + t_tn + t_fp + t_fn, 1)),
+        "median_label_norm": float(np.median(
+            np.linalg.norm(np.asarray(label_emb), axis=1))),
+        "median_img_norm": float(np.median(
+            np.linalg.norm(np.asarray(img_emb), axis=1))),
+        "top1_per_level": top1_per_level,
+    }
+    for k in ks:
+        out[f"hit@{k}"] = float(hit_at_k[k].sum() / (n_images * L))
+        for l in range(L):
+            out[f"hit@{k}/level_{l}"] = float(hit_at_k[k][l] / n_images)
+    return out

@@ -1,0 +1,241 @@
+"""Structured negative sampling for the joint (image+label) graph.
+
+The reference materializes a dense boolean negative adjacency over ALL
+nodes (labels + every train image) — O((n_labels+n_images)²) bytes, saved
+as `neg_adjacency.npy` (oe.py:468-474) — and samples corrupted edges with
+np.where + random.choice per batch item (oe_h.py:881-905).
+
+Key structural facts of that graph (create_combined_graphs, oe.py:417-491):
+  * label→label closure edges: the labelmap's transitive closure,
+  * label→image edges: EVERY ancestor level of the image's path,
+  * images have no outgoing edges.
+
+Hence membership in the negative adjacency is decidable from (a) the small
+label-closure matrix and (b) each image's (L,) ancestor path — no dense
+matrix needed. Sampling stays uniform over exactly the same candidate sets:
+
+corrupt 'to' given u (pass at label level l):
+    u label : level-l labels − descendants(u) − {u}
+    u image : all level-l labels                    (images have no out-edges)
+corrupt 'to' given u (pass at image level L):
+    edge has an image end → labels − descendants(u) − {u}  (reference picks
+    labels when either end is an image, oe_h.py:869-873)
+    pure label edge      → images that are NOT descendants of u
+corrupt 'from' given v (label level l):
+    v label : level-l labels − ancestors(v) − {v}
+    v image : level-l labels − {v's ancestor at level l}
+corrupt 'from' given v (image level L):
+    edge has an image end → labels − ancestors(v) − {v}
+    pure label edge      → all images (images never reach labels)
+
+Curriculum `levels_to_hide` removes those levels from the pass cycle
+(oe_h.py:850-856).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["JointGraph", "build_joint_graph", "make_joint_negative_sampler"]
+
+
+class JointGraph(NamedTuple):
+    """Static arrays describing the combined train graph.
+
+    label_closure: (n_labels, n_labels) bool transitive closure (labels).
+    image_paths_global: (n_images, L) int32 — each train image's ancestor
+        label (global index) per level. Image node id = n_labels + row.
+    level_start/stop: per-level label ranges.
+    """
+
+    label_closure: np.ndarray
+    image_paths_global: np.ndarray
+    level_start: np.ndarray
+    level_stop: np.ndarray
+
+    @property
+    def n_labels(self) -> int:
+        return self.label_closure.shape[0]
+
+    @property
+    def n_images(self) -> int:
+        return self.image_paths_global.shape[0]
+
+    @property
+    def n_levels(self) -> int:
+        return self.image_paths_global.shape[1]
+
+    def is_image(self, ids):
+        return ids >= self.n_labels
+
+    def positive_mask(self, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """True where (u, v) is a closure edge of the combined graph."""
+        u = np.asarray(u)
+        v = np.asarray(v)
+        out = np.zeros(u.shape, bool)
+        both_label = (u < self.n_labels) & (v < self.n_labels)
+        out[both_label] = self.label_closure[u[both_label], v[both_label]]
+        li = (u < self.n_labels) & (v >= self.n_labels)
+        if li.any():
+            paths = self.image_paths_global[v[li] - self.n_labels]
+            out[li] = (paths == u[li][:, None]).any(axis=1)
+        return out
+
+
+def build_joint_graph(labelmap, train_level_labels: np.ndarray):
+    """(JointGraph, train_edges) from the train split's per-sample level
+    labels — the reference's create_combined_graphs (oe.py:417-491):
+
+    * label→label direct edges observed in the data, transitively closed,
+    * label→image edges from EVERY ancestor level (basic edges; the closure
+      adds nothing on top for images),
+    * train_edges = the basic skeleton (G_train_skeleton_full)."""
+    from ..hierarchy import label_graph_from_paths, transitive_closure
+
+    ll = np.asarray(train_level_labels)
+    basic = label_graph_from_paths(ll, labelmap)
+    closure = transitive_closure(basic)
+    glob = ll + labelmap.level_start[None, :]
+    n_img, L = glob.shape
+    nl = labelmap.n_classes
+    label_edges = np.stack(np.nonzero(basic), axis=1)
+    img_nodes = nl + np.arange(n_img)
+    img_edges = np.stack(
+        [glob.reshape(-1),
+         np.repeat(img_nodes, L)], axis=1)
+    train_edges = np.concatenate([label_edges, img_edges]).astype(np.int32)
+    graph = JointGraph(
+        label_closure=closure,
+        image_paths_global=glob.astype(np.int32),
+        level_start=np.asarray(labelmap.level_start),
+        level_stop=np.asarray(labelmap.level_stop),
+    )
+    return graph, train_edges
+
+
+def make_joint_negative_sampler(
+    graph: JointGraph,
+    neg_to_pos_ratio: int,
+    *,
+    pick_per_level: bool = True,
+    levels_to_hide: Sequence[int] = (),
+):
+    """Jittable (key, pos_from, pos_to) -> (neg_from, neg_to) with the
+    reference's slot layout (2R per positive). Rebuild per curriculum stage
+    (levels_to_hide is baked in as static masks)."""
+    nl = graph.n_labels
+    ni = graph.n_images
+    L = graph.n_levels
+    R = int(neg_to_pos_ratio)
+
+    closure = jnp.asarray(graph.label_closure)              # (nl, nl)
+    img_paths = jnp.asarray(graph.image_paths_global)       # (ni, L)
+
+    # pass cycle: levels 0..L-1 and L (= images), minus hidden levels
+    # (reference cycle arithmetic, oe_h.py:850-856, 881-883)
+    visible = [l for l in range(L + 1) if l not in set(levels_to_hide)]
+    if not pick_per_level:
+        visible = None
+    pass_levels = None if visible is None else np.asarray(
+        [visible[r % len(visible)] for r in range(R)], np.int32)
+
+    starts = np.asarray(graph.level_start)
+    stops = np.asarray(graph.level_stop)
+    label_ix = np.arange(nl)
+    level_label_masks = np.stack(
+        [(label_ix >= starts[l]) & (label_ix < stops[l]) for l in range(L)])
+    level_label_masks = jnp.asarray(level_label_masks)       # (L, nl)
+
+    def _categorical(key, mask):
+        """mask: (..., n) bool -> uniform index over True entries
+        (empty rows fall back to the full row)."""
+        has_any = jnp.any(mask, axis=-1, keepdims=True)
+        safe = jnp.where(has_any, mask, True)
+        return jax.random.categorical(
+            key, jnp.where(safe, 0.0, -jnp.inf), axis=-1)
+
+    def _label_candidates_to(u):
+        """(B, nl): labels that are negative successors of u (any level)."""
+        u_lab = jnp.minimum(u, nl - 1)
+        desc = closure[u_lab]                                 # descendants
+        not_self = jax.nn.one_hot(u_lab, nl, dtype=bool)
+        lab_mask = ~desc & ~not_self
+        # image 'from': every label is a negative successor
+        return jnp.where((u >= nl)[:, None], True, lab_mask)
+
+    def _label_candidates_from(v):
+        """(B, nl): labels that are negative predecessors of v."""
+        v_lab = jnp.minimum(v, nl - 1)
+        anc_label = closure[:, v_lab].T | jax.nn.one_hot(v_lab, nl, dtype=bool)
+        img_row = jnp.maximum(v - nl, 0)
+        anc_img = jnp.zeros((v.shape[0], nl), bool)
+        paths = img_paths[img_row]                            # (B, L)
+        anc_img = anc_img.at[jnp.arange(v.shape[0])[:, None], paths].set(True)
+        anc = jnp.where((v >= nl)[:, None], anc_img, anc_label)
+        return ~anc
+
+    def _image_candidates_to(u):
+        """(B, ni): images not descended from label u."""
+        u_lab = jnp.minimum(u, nl - 1)
+        lvl = jnp.searchsorted(jnp.asarray(stops), u_lab, side="right")
+        anc_at_lvl = img_paths[:, :].T[lvl]                   # (B, ni)
+        return anc_at_lvl != u_lab[:, None]
+
+    def _sample_side(key, anchors, anchor_other, corrupt_to: bool):
+        """(B, R) corrupted node ids for one side."""
+        B = anchors.shape[0]
+        keys = jax.random.split(key, R)
+        edge_has_image = (anchors >= nl) | (anchor_other >= nl)
+        cols = []
+        for r in range(R):
+            lvl = None if pass_levels is None else int(pass_levels[r])
+            if corrupt_to:
+                lab_mask = _label_candidates_to(anchors)
+            else:
+                lab_mask = _label_candidates_from(anchors)
+            if lvl is None:
+                # unrestricted: mix labels and images in one row
+                self_col = jax.nn.one_hot(
+                    jnp.maximum(anchors - nl, 0), ni, dtype=bool)
+                self_col = self_col & (anchors >= nl)[:, None]
+                if corrupt_to:
+                    img_mask = _image_candidates_to(anchors)
+                    img_mask = jnp.where((anchors >= nl)[:, None],
+                                         ~self_col, img_mask)
+                else:
+                    # predecessors of v among images: none (images have no
+                    # out-edges) => every image except v is a negative
+                    img_mask = ~self_col
+                full = jnp.concatenate([lab_mask, img_mask], axis=1)
+                cols.append(_categorical(keys[r], full))
+            elif lvl < L:
+                cols.append(_categorical(
+                    keys[r], lab_mask & level_label_masks[lvl][None]))
+            else:
+                # image-level pass
+                if corrupt_to:
+                    img_mask = _image_candidates_to(anchors)
+                    img_pick = nl + _categorical(keys[r], img_mask)
+                else:
+                    img_pick = nl + jax.random.randint(keys[r], (B,), 0, ni)
+                lab_pick = _categorical(keys[r], lab_mask)
+                cols.append(jnp.where(edge_has_image, lab_pick, img_pick))
+        return jnp.stack(cols, axis=1)                        # (B, R)
+
+    @jax.jit
+    def sample(key, pos_from, pos_to):
+        B = pos_from.shape[0]
+        k1, k2 = jax.random.split(key)
+        corrupted_to = _sample_side(k1, pos_from, pos_to, corrupt_to=True)
+        corrupted_from = _sample_side(k2, pos_to, pos_from, corrupt_to=False)
+        nf = jnp.concatenate(
+            [jnp.broadcast_to(pos_from[:, None], (B, R)), corrupted_from], 1)
+        nt = jnp.concatenate(
+            [corrupted_to, jnp.broadcast_to(pos_to[:, None], (B, R))], 1)
+        return nf.reshape(-1), nt.reshape(-1)
+
+    return sample

@@ -1,0 +1,253 @@
+"""Joint image+label embedding trainer (the reference's `JointEmbeddings`,
+oe.py:1224-1990 / oe_h.py:1318-2247 — the flagship embedding workload).
+
+TPU-first rebuild:
+
+* node ids: labels = global labelmap indices, train images = n_labels + row
+  (the reference's int-coding of its mapping_node_to_ix, oe.py:455-465),
+* image features: one (n_images, 2048) fc7 array (replacing the
+  filename→list feature dict, oe_h.py:2332-2339); image embeddings =
+  FeatNet(fc7[row]) with the exp₀ hyperbolic squash,
+* unified embedding lookup inside the jitted step: compute the label-table
+  and FeatNet branches for the whole id batch and select — static shapes,
+  no type-dispatch python loop (replaces calculate_from_and_to_emb,
+  oe_h.py:1227-1315),
+* negative sampling: structured joint sampler (losses/joint_sampling.py),
+* two optimizer groups (labels / images) via optax.multi_transform with
+  lr_labels / lr_images (oe_h.py:1512-1526); hyperbolic label path either
+  full RSGD or conformal-rescaled adam + annulus projection,
+* curriculum level hiding {0:[1,2,3], 20:[2,3], 50:[3], 100:[]}
+  (oe_h.py:1534-1536): per stage, edges touching hidden label levels are
+  filtered and the sampler's pass cycle is rebuilt,
+* eval: joint classification metrics (hit@k / m-F1 via one pairwise-energy
+  kernel) + label-subgraph reconstruction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..eval import best_threshold_metrics, reconstruction_metrics
+from ..eval.ranking import joint_classification_metrics
+from ..geometry import ENERGY_FNS
+from ..losses.joint_sampling import JointGraph, make_joint_negative_sampler
+from ..losses.margin import margin_loss
+from ..models.embedder import FeatNet, LabelEmbedder
+from ..optim.rsgd import (
+    project_annulus_tree,
+    riemannian_sgd,
+    scale_by_conformal_factor,
+)
+
+JOINT_MODE = {"order": "euclidean", "hyp_cone": "hyp_cone_exp0"}
+DEFAULT_K = {"order": None, "hyp_cone": 0.1}
+# reference curriculum (oe_h.py:1534-1536)
+DEFAULT_CURRICULUM = {0: (1, 2, 3), 20: (2, 3), 50: (3,), 100: ()}
+
+
+@dataclasses.dataclass
+class JointTrainerConfig:
+    energy: str = "hyp_cone"
+    embedding_dim: int = 10
+    feature_dim: int = 2048
+    lr_labels: float = 1e-2
+    lr_images: float = 1e-3
+    batch_size: int = 10
+    neg_to_pos_ratio: int = 5
+    alpha: float = 0.05
+    optimizer_labels: str = "adam"      # adam | rsgd
+    pick_per_level: bool = True
+    hide_levels: bool = False
+    curriculum: Optional[Dict[int, Tuple[int, ...]]] = None
+    half_half: bool = False             # resample 50/50 (l,l)/(l,img) edges
+    seed: int = 0
+    K: Optional[float] = None
+
+
+class JointEmbeddingTrainer:
+    def __init__(self, labelmap, graph: JointGraph,
+                 train_edges: np.ndarray, features: np.ndarray,
+                 cfg: JointTrainerConfig):
+        """train_edges: (E, 2) node-id pairs (label→label and label→image)
+        of the train skeleton (basic edges, like the reference's
+        G_train_skeleton_full). features: (n_images, feature_dim) fc7."""
+        self.labelmap = labelmap
+        self.graph = graph
+        self.cfg = cfg
+        self.K = cfg.K if cfg.K is not None else DEFAULT_K[cfg.energy]
+        mode = JOINT_MODE[cfg.energy]
+        self.train_edges = np.asarray(train_edges, np.int32)
+        self.features = jnp.asarray(features, jnp.float32)
+
+        self.embedder = LabelEmbedder(n_nodes=graph.n_labels,
+                                      dim=cfg.embedding_dim, mode=mode,
+                                      K=self.K)
+        self.featnet = FeatNet(dim=cfg.embedding_dim, mode=mode, K=self.K)
+        key = jax.random.PRNGKey(cfg.seed)
+        k1, k2, self.key = jax.random.split(key, 3)
+        self.params = {
+            "labels": self.embedder.init(k1, jnp.zeros((1,), jnp.int32)),
+            "images": self.featnet.init(
+                k2, jnp.zeros((1, cfg.feature_dim), jnp.float32)),
+        }
+        self.tx = self._make_optimizer()
+        self.opt_state = self.tx.init(self.params)
+        self._energy_kw = {} if self.K is None else {"K": self.K}
+        self.optimal_threshold = None
+        self.curriculum = (cfg.curriculum if cfg.curriculum is not None
+                           else (DEFAULT_CURRICULUM if cfg.hide_levels else {0: ()}))
+        self._stage_cache: Dict[Tuple[int, ...], tuple] = {}
+
+    # ------------------------------------------------------------------
+    def _make_optimizer(self):
+        cfg = self.cfg
+        if cfg.optimizer_labels == "rsgd":
+            label_tx = riemannian_sgd(cfg.lr_labels, self.K)
+        elif self.cfg.energy == "hyp_cone":
+            label_tx = optax.chain(scale_by_conformal_factor(),
+                                   optax.adam(cfg.lr_labels))
+        else:
+            label_tx = optax.adam(cfg.lr_labels)
+        img_tx = optax.adam(cfg.lr_images)
+        return optax.multi_transform(
+            {"labels": label_tx, "images": img_tx},
+            {"labels": "labels", "images": "images"})
+
+    # ------------------------------------------------------------------
+    def node_embeddings(self, params, ids):
+        """Unified lookup: label table or FeatNet(fc7) selected by id."""
+        nl = self.graph.n_labels
+        lab = self.embedder.apply(params["labels"], jnp.minimum(ids, nl - 1))
+        img = self.featnet.apply(
+            params["images"], self.features[jnp.maximum(ids - nl, 0)])
+        return jnp.where((ids >= nl)[:, None], img, lab)
+
+    def levels_for_epoch(self, epoch: int) -> Tuple[int, ...]:
+        current = ()
+        for start in sorted(self.curriculum):
+            if epoch >= start:
+                current = tuple(self.curriculum[start])
+        return current
+
+    def _stage(self, hidden: Tuple[int, ...]):
+        """(filtered train edges, epoch_fn) for a curriculum stage."""
+        if hidden in self._stage_cache:
+            return self._stage_cache[hidden]
+        g = self.graph
+        lvl_of = np.full(g.n_labels + g.n_images, g.n_levels, np.int32)
+        for l in range(g.n_levels):
+            lvl_of[g.level_start[l]:g.level_stop[l]] = l
+        e = self.train_edges
+        keep = ~np.isin(lvl_of[e[:, 0]], hidden) & ~np.isin(lvl_of[e[:, 1]], hidden)
+        edges = e[keep]
+        sampler = make_joint_negative_sampler(
+            g, self.cfg.neg_to_pos_ratio,
+            pick_per_level=self.cfg.pick_per_level, levels_to_hide=hidden)
+        epoch_fn = self._build_epoch_fn(sampler)
+        self._stage_cache[hidden] = (edges, epoch_fn)
+        return edges, epoch_fn
+
+    def _build_epoch_fn(self, sampler):
+        cfg = self.cfg
+        tx = self.tx
+        energy_kw = self._energy_kw
+        project_hyp = (cfg.energy == "hyp_cone"
+                       and cfg.optimizer_labels != "rsgd")
+        K = self.K
+        node_emb = self.node_embeddings
+
+        def loss_fn(params, pos_from, pos_to, neg_from, neg_to):
+            loss, (e_pos, e_neg) = margin_loss(
+                node_emb(params, pos_from), node_emb(params, pos_to),
+                node_emb(params, neg_from), node_emb(params, neg_to),
+                energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
+            return loss, (e_pos, e_neg)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(carry, batch):
+            params, opt_state, key = carry
+            pos_from, pos_to = batch
+            key, k = jax.random.split(key)
+            neg_from, neg_to = sampler(k, pos_from, pos_to)
+            (loss, (e_pos, e_neg)), grads = grad_fn(
+                params, pos_from, pos_to, neg_from, neg_to)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if project_hyp:
+                params = dict(params,
+                              labels=project_annulus_tree(params["labels"], K))
+            return (params, opt_state, key), (loss, e_pos, e_neg)
+
+        @jax.jit
+        def epoch(params, opt_state, key, pf, pt):
+            (params, opt_state, key), (losses, e_pos, e_neg) = jax.lax.scan(
+                step, (params, opt_state, key), (pf, pt))
+            return params, opt_state, losses, e_pos, e_neg
+
+        return epoch
+
+    # ------------------------------------------------------------------
+    def _epoch_order(self, edges: np.ndarray, rng: np.random.RandomState):
+        """Shuffle; with half_half, resample to 50% (label,label) and 50%
+        (label,image) edges (reference map_ranges resampling,
+        oe.py:545-584)."""
+        nl = self.graph.n_labels
+        if self.cfg.half_half:
+            is_img = edges[:, 1] >= nl
+            img_edges = edges[is_img]
+            lab_edges = edges[~is_img]
+            n = max(len(img_edges), len(lab_edges))
+            if len(img_edges) and len(lab_edges):
+                take = lambda arr: arr[rng.randint(0, len(arr), n)]
+                edges = np.concatenate([take(img_edges), take(lab_edges)])
+        return edges[rng.permutation(len(edges))]
+
+    def train_epoch(self, epoch: int, rng: np.random.RandomState):
+        edges, epoch_fn = self._stage(self.levels_for_epoch(epoch))
+        edges = self._epoch_order(edges, rng)
+        bs = self.cfg.batch_size
+        nb = max(len(edges) // bs, 1)
+        e = edges[:nb * bs].reshape(nb, bs, 2)
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, losses, e_pos, e_neg = epoch_fn(
+            self.params, self.opt_state, k,
+            jnp.asarray(e[..., 0]), jnp.asarray(e[..., 1]))
+        return {
+            "loss": float(jnp.sum(losses)),
+            "e_pos_mean": float(jnp.mean(e_pos)),
+            "e_neg_mean": float(jnp.mean(e_neg)),
+        }
+
+    # ------------------------------------------------------------------
+    def label_embeddings(self):
+        return self.embedder.apply(
+            self.params["labels"], jnp.arange(self.graph.n_labels))
+
+    def image_embeddings(self, features=None):
+        feats = self.features if features is None else jnp.asarray(features)
+        return self.featnet.apply(self.params["images"], feats)
+
+    def classification_metrics(self, img_paths_global=None, features=None,
+                               ks=(1, 3, 5)):
+        """hit@k / m-F1 ranking metrics; defaults to the train images."""
+        paths = (self.graph.image_paths_global
+                 if img_paths_global is None else img_paths_global)
+        return joint_classification_metrics(
+            self.label_embeddings(),
+            self.image_embeddings(features),
+            paths, self.labelmap, energy=self.cfg.energy, ks=ks,
+            **self._energy_kw)
+
+    def reconstruction(self, threshold=None):
+        nl = self.labelmap.n_classes
+        return reconstruction_metrics(
+            self.label_embeddings()[:nl],
+            self.graph.label_closure[:nl, :nl],
+            energy=self.cfg.energy, threshold=threshold, **self._energy_kw)

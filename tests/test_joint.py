@@ -1,0 +1,128 @@
+"""Joint image+label embedding tests: structured sampler correctness vs the
+graph, end-to-end training on synthetic features, curriculum filtering."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from learning_embeddings_tpu.hierarchy import toy_labelmap
+from learning_embeddings_tpu.losses.joint_sampling import (
+    build_joint_graph,
+    make_joint_negative_sampler,
+)
+from learning_embeddings_tpu.train.joint import (
+    JointEmbeddingTrainer,
+    JointTrainerConfig,
+)
+
+RNG = np.random.RandomState(0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lm = toy_labelmap(branching=2, n_levels=3)      # 14 labels, 8 leaves
+    n_img_per_leaf = 6
+    leaves = np.repeat(np.arange(lm.levels[-1]), n_img_per_leaf)
+    ll = lm.leaf_paths()[leaves]                     # (48, 3)
+    graph, train_edges = build_joint_graph(lm, ll)
+    # synthetic separable "fc7": one cluster center per leaf + noise
+    centers = RNG.randn(lm.levels[-1], 32) * 3
+    feats = centers[leaves] + 0.3 * RNG.randn(len(leaves), 32)
+    return lm, graph, train_edges, feats.astype(np.float32), ll
+
+
+def test_build_joint_graph_shapes(setup):
+    lm, graph, train_edges, feats, ll = setup
+    assert graph.n_labels == 14 and graph.n_images == 48
+    # label basic edges 2+4+... = 12; image edges 48*3
+    assert len(train_edges) == 12 + 48 * 3
+    # positive_mask: direct and transitive label edges, label->image
+    assert graph.positive_mask(np.array([0]), np.array([2]))[0]   # L0_0->L1_0
+    assert graph.positive_mask(np.array([0]), np.array([6]))[0]   # transitive
+    img0 = 14 + 0
+    assert graph.positive_mask(np.array([0]), np.array([img0]))[0]
+    assert not graph.positive_mask(np.array([1]), np.array([img0]))[0]
+    assert not graph.positive_mask(np.array([img0]), np.array([0]))[0]
+
+
+@pytest.mark.parametrize("pick_per_level", [True, False])
+def test_joint_sampler_only_negatives(setup, pick_per_level):
+    lm, graph, train_edges, feats, ll = setup
+    sampler = make_joint_negative_sampler(
+        graph, 4, pick_per_level=pick_per_level)
+    pf = jnp.asarray(train_edges[:, 0])
+    pt = jnp.asarray(train_edges[:, 1])
+    nf, nt = sampler(jax.random.PRNGKey(0), pf, pt)
+    nf, nt = np.asarray(nf), np.asarray(nt)
+    pos = graph.positive_mask(nf, nt)
+    assert not pos.any(), f"{pos.sum()} sampled pairs are positives"
+    assert not (nf == nt).any()
+
+
+def test_joint_sampler_respects_hidden_levels(setup):
+    lm, graph, train_edges, feats, ll = setup
+    sampler = make_joint_negative_sampler(
+        graph, 6, pick_per_level=True, levels_to_hide=(1, 2))
+    pf = jnp.asarray(train_edges[:12, 0])
+    pt = jnp.asarray(train_edges[:12, 1])
+    nf, nt = sampler(jax.random.PRNGKey(1), pf, pt)
+    lvl_of = np.full(graph.n_labels + graph.n_images, graph.n_levels)
+    for l in range(graph.n_levels):
+        lvl_of[graph.level_start[l]:graph.level_stop[l]] = l
+    # corrupted nodes must never come from hidden label levels 1, 2
+    corrupted = np.concatenate([
+        np.asarray(nf).reshape(12, 12)[:, 6:].reshape(-1),
+        np.asarray(nt).reshape(12, 12)[:, :6].reshape(-1)])
+    assert not np.isin(lvl_of[corrupted], [1, 2]).any()
+
+
+def test_joint_training_learns(setup):
+    lm, graph, train_edges, feats, ll = setup
+    cfg = JointTrainerConfig(
+        energy="hyp_cone", embedding_dim=4, feature_dim=32,
+        lr_labels=0.01, lr_images=0.01, batch_size=12, neg_to_pos_ratio=4,
+        alpha=0.01, optimizer_labels="adam", pick_per_level=True, seed=0)
+    tr = JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg)
+    rng = np.random.RandomState(0)
+    m0 = tr.classification_metrics()
+    for ep in range(60):
+        stats = tr.train_epoch(ep, rng)
+    m1 = tr.classification_metrics()
+    assert m1["hit@1"] > max(2 * m0["hit@1"], 0.5)
+    assert m1["micro_f1"] > m0["micro_f1"]
+    rec = tr.reconstruction()
+    assert float(rec.f1) > 0.6
+    # hyperbolic: all embeddings inside the ball
+    assert m1["median_label_norm"] < 1.0 and m1["median_img_norm"] < 1.0
+
+
+def test_curriculum_stages_filter_edges(setup):
+    lm, graph, train_edges, feats, ll = setup
+    cfg = JointTrainerConfig(
+        energy="hyp_cone", embedding_dim=4, feature_dim=32,
+        batch_size=12, neg_to_pos_ratio=2, hide_levels=True,
+        curriculum={0: (1, 2), 5: ()}, seed=0)
+    tr = JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg)
+    edges0, _ = tr._stage(tr.levels_for_epoch(0))
+    edges5, _ = tr._stage(tr.levels_for_epoch(5))
+    assert len(edges5) == len(train_edges)
+    # stage 0 hides levels 1,2: only L0 labels + images remain ->
+    # only (L0 label -> image) edges survive
+    lvl_of = np.full(graph.n_labels + graph.n_images, graph.n_levels)
+    for l in range(graph.n_levels):
+        lvl_of[graph.level_start[l]:graph.level_stop[l]] = l
+    assert (lvl_of[edges0[:, 0]] == 0).all()
+    assert (edges0[:, 1] >= graph.n_labels).all()
+    assert len(edges0) == 48
+
+
+def test_half_half_resampling(setup):
+    lm, graph, train_edges, feats, ll = setup
+    cfg = JointTrainerConfig(energy="order", embedding_dim=4, feature_dim=32,
+                             half_half=True, batch_size=12, seed=0)
+    tr = JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg)
+    order = tr._epoch_order(train_edges, np.random.RandomState(0))
+    frac_img = (order[:, 1] >= graph.n_labels).mean()
+    assert 0.45 < frac_img < 0.55
