@@ -1,0 +1,119 @@
+"""Shared implementation for the joint image+label drivers (cli/oe.py
+Euclidean, cli/oe_h.py hyperbolic) — counterparts of `network/oe.py` /
+`network/oe_h.py` __main__ (oe_h.py:2390-2433, flags name-compatible)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..losses.joint_sampling import build_joint_graph
+from ..train.joint import JointTrainerConfig
+from ..train.runner import run_joint_embedding
+from .common import add_common_flags, load_ethec_data, manifest_from_args
+
+LOSS_MAP = {
+    "order_emb_loss": "order",
+    "euc_cones_loss": "hyp_cone",   # reference EucConesLoss in oe_h is the
+    #                                 hyperbolic-cone energy (misnamed
+    #                                 upstream, order_embeddings_h.py:1074)
+    "hyp_cones_loss": "hyp_cone",
+}
+
+
+def build_parser(default_energy: str):
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--alpha", type=float, default=0.05)
+    parser.add_argument("--load_G_from_disk", action="store_true",
+                        help="(compat no-op: graphs are rebuilt from the "
+                             "split jsons deterministically)")
+    parser.add_argument("--load_emb_from", type=str, default=None,
+                        help="Path to a pretrained label-embedding table")
+    parser.add_argument("--load_cosine_emb", type=str, default=None)
+    parser.add_argument("--image_dir", type=str, required=True)
+    parser.add_argument("--embedding_dim", type=int, default=10)
+    parser.add_argument("--neg_to_pos_ratio", type=int, default=5)
+    parser.add_argument("--model", type=str, default="alexnet")
+    parser.add_argument("--loss", type=str, default=default_energy)
+    parser.add_argument("--use_CNN", action="store_true",
+                        help="Train the image CNN end-to-end instead of "
+                             "frozen fc7 features (not yet wired; the fc7 "
+                             "path is the reference default).")
+    parser.add_argument("--pick_per_level", action="store_true")
+    parser.add_argument("--freeze_weights", action="store_true")
+    parser.add_argument("--half_half", action="store_true")
+    parser.add_argument("--hide_levels", action="store_true")
+    parser.add_argument("--use_rsgd", action="store_true")
+    parser.add_argument("--lr_images", type=float, default=1e-3)
+    parser.add_argument("--features_dir", type=str, default=None,
+                        help="Directory with {split}.npz fc7 features from "
+                             "the image_emb driver (default: "
+                             "<data_dir>/embeddings)")
+    return parser
+
+
+def load_features(features_dir: str, split: str, dataset):
+    """fc7 features aligned with dataset.image_paths; the image_emb driver
+    writes {paths, features} npz per split (the reference's
+    <db>/embeddings/<split>.npy dict, order_embeddings_images.py:129-135)."""
+    path = os.path.join(features_dir, f"{split}.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — run the image_emb driver first "
+            f"(fc7 precompute)")
+    blob = np.load(path, allow_pickle=True)
+    by_path = {p: i for i, p in enumerate(blob["paths"])}
+    rows = [by_path[p] for p in dataset.image_paths]
+    return blob["features"][rows].astype(np.float32)
+
+
+def joint_main(args, default_energy: str):
+    args = build_parser(default_energy).parse_args(args)
+    labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
+    graph, train_edges = build_joint_graph(
+        labelmap, datasets["train"].level_labels)
+
+    features_dir = args.features_dir or os.path.join(args.data_dir,
+                                                     "embeddings")
+    feats = load_features(features_dir, "train", datasets["train"])
+    eval_features, eval_paths = {}, {}
+    for split in ("val", "test"):
+        if split in datasets:
+            eval_features[split] = load_features(features_dir, split,
+                                                 datasets[split])
+            eval_paths[split] = (datasets[split].level_labels
+                                 + labelmap.level_start[None, :])
+
+    cfg = JointTrainerConfig(
+        energy=LOSS_MAP[args.loss],
+        embedding_dim=args.embedding_dim,
+        feature_dim=feats.shape[1],
+        lr_labels=args.lr,
+        lr_images=args.lr_images,
+        batch_size=args.batch_size,
+        neg_to_pos_ratio=args.neg_to_pos_ratio,
+        alpha=args.alpha,
+        optimizer_labels="rsgd" if args.use_rsgd else "adam",
+        pick_per_level=args.pick_per_level,
+        hide_levels=args.hide_levels,
+        half_half=args.half_half,
+        seed=args.random_seed,
+    )
+    result = run_joint_embedding(
+        labelmap, graph, train_edges, feats, cfg,
+        experiment_dir=args.experiment_dir,
+        experiment_name=args.experiment_name,
+        n_epochs=args.n_epochs,
+        eval_interval=args.eval_interval,
+        eval_features=eval_features,
+        eval_paths=eval_paths,
+        resume=args.resume,
+        manifest_args=manifest_from_args(args),
+    )
+    print({k: v for k, v in result.items()
+           if isinstance(v, (int, float, str))})
+    print("test:", result["test_metrics"])
+    return result

@@ -1,0 +1,94 @@
+"""ETHEC CNN classifier driver — the counterpart of the reference's
+`network/ethec_experiments.py` __main__ (flags kept name-compatible,
+ethec_experiments.py:437-466)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..train.classifier import ClassifierConfig
+from ..train.runner import run_classifier
+from .common import add_common_flags, load_ethec_data, manifest_from_args
+
+LOSS_MAP = {
+    "multi_level": "multi_level_ce",
+    "last_level": "last_level_ce",
+    "masked_loss": "masked_ce",
+    "multi_label": "multi_label_sm",
+    "hsoftmax": "hsoftmax",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--evaluator", help="Evaluator type.", type=str,
+                        default="ML")
+    parser.add_argument("--image_dir", help="Image parent directory.",
+                        type=str, required=True)
+    parser.add_argument("--weight_strategy", type=str, default="inv",
+                        help='["inv", "inv_sqrt"] class-frequency weighting')
+    parser.add_argument("--model", help="NN model to use.", type=str,
+                        required=True)
+    parser.add_argument("--loss", type=str, required=True,
+                        help="[multi_label, multi_level, last_level, "
+                             "masked_loss, hsoftmax]")
+    parser.add_argument("--use_grayscale", action="store_true",
+                        help="Use grayscale images.")
+    parser.add_argument("--class_weights", action="store_true",
+                        help="Re-weigh the loss by inverse class freq.")
+    parser.add_argument("--freeze_weights", action="store_true",
+                        help="Fine tune only the last layer.")
+    parser.add_argument("--level_weights", nargs=4, default=None, type=float,
+                        help="List of weights for each level")
+    parser.add_argument("--use_2d", action="store_true",
+                        help="Use model with 2d features")
+    parser.add_argument("--image_size", type=int, default=448)
+    return parser
+
+
+def main(args=None):
+    import numpy as np
+
+    args = build_parser().parse_args(args)
+    labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
+
+    class_weights = None
+    if args.class_weights:
+        # inverse frequency over train multihot (finetuner.py:176-197)
+        mh = datasets["train"].multihot(labelmap)
+        counts = np.maximum(mh.sum(axis=0), 1.0)
+        class_weights = (1.0 / counts).astype(np.float32)
+
+    cfg = ClassifierConfig(
+        backbone=args.model,
+        criterion=LOSS_MAP[args.loss],
+        lr=args.lr,
+        optimizer=args.optimizer_method,
+        lr_steps=tuple(args.lr_step),
+        level_weights=args.level_weights,
+        class_weights=class_weights,
+        freeze_trunk=args.freeze_weights,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        seed=args.random_seed,
+    )
+    evaluator = args.evaluator if args.loss == "multi_label" else "MLEVAL"
+    return run_classifier(
+        labelmap, datasets, args.image_dir, cfg,
+        experiment_dir=args.experiment_dir,
+        experiment_name=args.experiment_name,
+        n_epochs=args.n_epochs,
+        evaluator=evaluator,
+        eval_interval=args.eval_interval,
+        n_workers=args.n_workers,
+        weight_strategy=args.weight_strategy,
+        use_grayscale=args.use_grayscale,
+        resume=args.resume,
+        manifest_args=manifest_from_args(args),
+        set_mode=args.set_mode,
+    )
+
+
+if __name__ == "__main__":
+    main()

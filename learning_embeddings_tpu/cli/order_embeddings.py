@@ -1,0 +1,78 @@
+"""Label-only Euclidean embedding driver — counterpart of
+`network/order_embeddings.py` __main__ (flags name-compatible,
+order_embeddings.py:1350-1392)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..hierarchy import label_graph_from_paths, split_edges
+from ..train.embedding import EmbeddingTrainerConfig
+from ..train.runner import run_label_embedding
+from .common import add_common_flags, load_ethec_data, manifest_from_args
+
+LOSS_MAP = {
+    "order_emb_loss": "order",
+    "euc_emb_loss": "euc_cone",
+    "euc_cones_loss": "euc_cone",
+}
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--embedding_dim", type=int, default=10)
+    parser.add_argument("--neg_to_pos_ratio", type=int, default=5)
+    parser.add_argument("--alpha", help="Margin alpha.", type=float, default=0.05)
+    parser.add_argument("--prop_of_nb_edges", type=float, default=0.9,
+                        help="Proportion of non-basic edges added to train.")
+    parser.add_argument("--loss", type=str, required=True,
+                        help="[order_emb_loss, euc_cones_loss]")
+    parser.add_argument("--pick_per_level", action="store_true")
+    parser.add_argument("--check_reconstr_every", type=int, default=10)
+    parser.add_argument("--load_cosine_emb", type=str, default=None,
+                        help="Path to cosine embeddings .npy warm start")
+    return parser
+
+
+def main(args=None):
+    import numpy as np
+
+    args = build_parser().parse_args(args)
+    labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
+    # label graph from the observed train paths (order_embeddings.py:363-371)
+    adj = label_graph_from_paths(datasets["train"].level_labels, labelmap)
+    splits = split_edges(adj,
+                         proportion_of_nb_edges_in_train=args.prop_of_nb_edges,
+                         seed=args.random_seed)
+    cfg = EmbeddingTrainerConfig(
+        energy=LOSS_MAP[args.loss],
+        embedding_dim=args.embedding_dim,
+        lr=args.lr,
+        batch_size=args.batch_size,
+        neg_to_pos_ratio=args.neg_to_pos_ratio,
+        alpha=args.alpha,
+        optimizer=args.optimizer_method,
+        pick_per_level=args.pick_per_level,
+        seed=args.random_seed,
+    )
+    result = run_label_embedding(
+        labelmap, splits, cfg,
+        experiment_dir=args.experiment_dir,
+        experiment_name=args.experiment_name,
+        n_epochs=args.n_epochs,
+        eval_interval=args.eval_interval,
+        check_reconstr_every=args.check_reconstr_every,
+        resume=args.resume,
+        manifest_args=manifest_from_args(args),
+    )
+    if args.load_cosine_emb:
+        print("note: cosine warm start is applied before training in the "
+              "hyperbolic driver; ignored for euclidean losses")
+    print({k: v for k, v in result.items()
+           if isinstance(v, (int, float, str))})
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Multi-label evaluation with per-class threshold tuning.
+
+Rebuilds `MultiLabelEvaluation` / `MultiLabelEvaluationSingleThresh` /
+`Metrics` (reference evaluation.py:129-481):
+
+* per-class PR curves + AP / mAP over sigmoid-style scores,
+* per-class decision thresholds tuned on val to maximize F1
+  (set_optimal_thresholds, evaluation.py:345-381),
+* binary per-class confusion stats at the tuned thresholds; macro = mean
+  over the class subset, micro from the summed 2×2 cmat,
+* the reference's idiosyncratic `accuracy` (mean predicted value at
+  positions whose gt is 1 — i.e. recall of the multi-hot) is preserved as
+  `accuracy_score` (evaluation.py:178-181),
+* single shared-threshold variant over the flattened score matrix.
+
+All vectorized numpy (host eval path; sklearn only for PR-curve parity).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from sklearn.metrics import average_precision_score, precision_recall_curve
+
+__all__ = [
+    "per_class_pr",
+    "tune_per_class_thresholds",
+    "tune_single_threshold",
+    "multilabel_metrics",
+]
+
+
+def _f1(p, r):
+    p, r = np.asarray(p), np.asarray(r)
+    return (p * r) * 2 / (p + r + 1e-6)   # reference get_f1score epsilon
+
+
+def per_class_pr(scores: np.ndarray, multihot: np.ndarray):
+    """Per-class (precision, recall, thresholds, AP) + mAP."""
+    out = {}
+    aps = []
+    for c in range(scores.shape[1]):
+        y = multihot[:, c]
+        if y.sum() == 0:
+            out[c] = (np.array([0.0]), np.array([0.0]), np.array([0.0]), 0.0)
+            aps.append(0.0)
+            continue
+        p, r, t = precision_recall_curve(y, scores[:, c])
+        ap = average_precision_score(y, scores[:, c])
+        out[c] = (p, r, t, ap)
+        aps.append(ap)
+    return out, float(np.mean(aps))
+
+
+def tune_per_class_thresholds(scores: np.ndarray, multihot: np.ndarray) -> np.ndarray:
+    """Best-F1 threshold per class from its PR curve (val calibration)."""
+    curves, _ = per_class_pr(scores, multihot)
+    th = np.zeros(scores.shape[1], np.float64)
+    for c, (p, r, t, ap) in curves.items():
+        if len(t) == 0:
+            continue
+        f1 = _f1(p, r)
+        best = int(np.argmax(f1))
+        th[c] = t[min(best, len(t) - 1)]
+    return th
+
+
+def tune_single_threshold(scores: np.ndarray, multihot: np.ndarray) -> float:
+    """One shared threshold over the flattened matrix maximizing F1
+    (MultiLabelEvaluationSingleThresh, evaluation.py:440-481).
+    Predicted positive = score >= t."""
+    s = scores.reshape(-1)
+    y = multihot.reshape(-1) > 0
+    order = np.argsort(-s)                       # descending
+    tp = np.cumsum(y[order])
+    fp = np.cumsum(~y[order])
+    prec = tp / np.maximum(tp + fp, 1)
+    rec = tp / max(y.sum(), 1)
+    f1 = _f1(prec, rec)
+    return float(s[order][int(np.argmax(f1))])
+
+
+def _binary_stats(pred: np.ndarray, corr: np.ndarray, idx) -> Dict[str, np.ndarray]:
+    p = pred[:, idx].astype(bool)
+    c = corr[:, idx].astype(bool)
+    tp = (p & c).sum(0).astype(np.float64)
+    fp = (p & ~c).sum(0).astype(np.float64)
+    fn = (~p & c).sum(0).astype(np.float64)
+    tn = (~p & ~c).sum(0).astype(np.float64)
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn}
+
+
+def multilabel_metrics(
+    scores: np.ndarray,
+    multihot: np.ndarray,
+    thresholds,
+    labelmap,
+) -> Dict[str, object]:
+    """Global + per-level metrics at the given threshold(s).
+
+    thresholds: scalar (single-threshold variant) or (n_classes,)."""
+    th = np.broadcast_to(np.asarray(thresholds, np.float64),
+                         (scores.shape[1],))
+    pred = scores >= th[None, :]
+    corr = multihot > 0
+
+    def subset(idx):
+        s = _binary_stats(pred, corr, idx)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prec = np.where(s["tp"] + s["fp"] > 0,
+                            s["tp"] / np.maximum(s["tp"] + s["fp"], 1), 0.0)
+            rec = np.where(s["tp"] + s["fn"] > 0,
+                           s["tp"] / np.maximum(s["tp"] + s["fn"], 1), 0.0)
+            f1 = np.where(prec + rec > 0,
+                          2 * prec * rec / np.maximum(prec + rec, 1e-30), 0.0)
+        Tp, Fp, Fn = s["tp"].sum(), s["fp"].sum(), s["fn"].sum()
+        micro_p = Tp / max(Tp + Fp, 1)
+        micro_r = Tp / max(Tp + Fn, 1)
+        micro_f1 = (2 * micro_p * micro_r / (micro_p + micro_r)
+                    if micro_p + micro_r > 0 else 0.0)
+        # reference accuracy_score: mean predicted value where gt == 1
+        mask = corr[:, idx]
+        acc = float(pred[:, idx][mask].mean()) if mask.any() else 0.0
+        return {
+            "macro": {"precision": float(prec.mean()),
+                      "recall": float(rec.mean()), "f1": float(f1.mean())},
+            "micro": {"precision": float(micro_p), "recall": float(micro_r),
+                      "f1": float(micro_f1)},
+            "precision": prec, "recall": rec, "f1": f1,
+            "tp": s["tp"], "fp": s["fp"], "fn": s["fn"], "tn": s["tn"],
+            "accuracy_score": acc,
+        }
+
+    out: Dict[str, object] = {"global": subset(np.arange(scores.shape[1]))}
+    for l, name in enumerate(labelmap.level_names):
+        a, b = int(labelmap.level_start[l]), int(labelmap.level_stop[l])
+        out[name] = subset(np.arange(a, b))
+    return out

@@ -187,6 +187,23 @@ class EmbeddingTrainer:
         }
 
     # ------------------------------------------------------------------
+    def load_embedding_table(self, table: np.ndarray) -> None:
+        """Warm start from an external table (--load_cosine_emb /
+        --load_emb_from, oe_h.py:1435-1436, order_embeddings.py:722-741).
+        2-D cosine warm starts are scaled into the annulus first."""
+        table = np.asarray(table, np.float32)
+        if self.cfg.energy == "hyp_cone":
+            from ..geometry import inner_radius
+
+            r0 = inner_radius(self.K)
+            norms = np.linalg.norm(table, axis=1, keepdims=True)
+            norms = np.maximum(norms, 1e-12)
+            target = r0 + (1 - 2 * r0) * norms / norms.max()
+            table = table / norms * target
+        self.params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(table) if p.shape == table.shape else p,
+            self.params)
+
     def all_embeddings(self) -> jnp.ndarray:
         return self.model.apply(self.params, jnp.arange(self.n_nodes))
 

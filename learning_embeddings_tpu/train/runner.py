@@ -1,0 +1,357 @@
+"""End-to-end experiment runners — the epoch loops behind the CLI drivers.
+
+Mirrors the reference's run_model/pass_samples skeletons:
+
+* ``run_classifier``      — ETHEC/CIFAR/FMNIST multi-head CNN training
+  (finetuner.py:199-375 + experiment.py:155-224): per-epoch train pass,
+  eval at intervals, per-level metrics + markdown reports, checkpoints,
+  best-model tracking by val micro-F1, final test pass with score dumps.
+* ``run_label_embedding``  — label-only order/cone embeddings
+  (order_embeddings.py:561-693): threshold calibration on val, fixed
+  threshold on test, periodic graph-reconstruction checks.
+* ``run_joint_embedding``  — joint image+label embeddings
+  (oe_h.py:1512-1965): curriculum, classification-metric model selection,
+  reconstruction, dual checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data import ImagePipeline, WeightedResampler, shuffled_order
+from ..eval import multilevel_metrics, hierarchical_match_counts
+from ..eval.multilabel import (
+    multilabel_metrics,
+    tune_per_class_thresholds,
+    tune_single_threshold,
+)
+from ..eval.reports import Summarize
+from .classifier import ClassifierConfig, ClassifierTrainer
+from .experiment import Checkpointer, ExperimentDir, MetricsLogger, write_manifest
+
+__all__ = ["run_classifier", "run_label_embedding", "run_joint_embedding"]
+
+
+# ---------------------------------------------------------------------------
+# classifier
+# ---------------------------------------------------------------------------
+
+def _eval_pass(trainer, pipe, order):
+    """Collect scores / labels / loss over one split."""
+    scores, labels, multihots, losses = [], [], [], []
+    for batch in pipe.batches(order):
+        b = trainer.put_batch(batch["image"], batch["level_labels"],
+                              batch["multihot"])
+        loss, s = trainer.eval_step(trainer.state, *b)
+        scores.append(np.asarray(s))
+        labels.append(batch["level_labels"])
+        multihots.append(batch["multihot"])
+        losses.append(float(loss) * len(batch["image"]))
+    return (np.concatenate(scores), np.concatenate(labels),
+            np.concatenate(multihots), sum(losses))
+
+
+def _classifier_metrics(evaluator: str, scores, level_labels, multihot,
+                        labelmap, thresholds=None):
+    """Score dict + the scalar used for best-model selection
+    (reference tracks val micro-F1, finetuner.py:304-307)."""
+    if evaluator in ("ML", "MLST"):
+        th = thresholds if thresholds is not None else 0.0
+        m = multilabel_metrics(scores, multihot, th, labelmap)
+        flat = {"micro_f1": m["global"]["micro"]["f1"],
+                "macro_f1": m["global"]["macro"]["f1"],
+                "accuracy": m["global"]["accuracy_score"]}
+        for name in labelmap.level_names:
+            flat[f"{name}/micro_f1"] = m[name]["micro"]["f1"]
+            flat[f"{name}/macro_f1"] = m[name]["macro"]["f1"]
+        return m, flat, flat["micro_f1"]
+    m = multilevel_metrics(scores, level_labels, labelmap)
+    match = hierarchical_match_counts(scores, level_labels, labelmap)
+    flat = {"micro_f1": m["micro"]["f1"], "macro_f1": m["macro"]["f1"],
+            "exact_match": match["exact_match"] / max(match["n"], 1)}
+    for l, name in enumerate(labelmap.level_names):
+        lv = m["levels"][l]
+        flat[f"{name}/accuracy"] = lv.accuracy
+        flat[f"{name}/micro_f1"] = lv.f1_micro
+        flat[f"{name}/macro_f1"] = lv.f1_macro
+    return m, flat, flat["micro_f1"]
+
+
+def _write_level_report(exp: ExperimentDir, phase: str, epoch: int,
+                        flat: Dict[str, float]) -> None:
+    s = Summarize(os.path.join(exp.stats, f"{phase}{epoch}"))
+    s.make_heading(f"Classification Summary - Epoch {epoch} {phase}", 1)
+    s.make_table([[k, f"{v:.4f}"] for k, v in sorted(flat.items())],
+                 x_labels=["metric", "value"])
+
+
+def run_classifier(
+    labelmap,
+    datasets: Dict[str, object],            # split -> EncodedDataset
+    image_root: str,
+    cfg: ClassifierConfig,
+    *,
+    experiment_dir: str,
+    experiment_name: str,
+    n_epochs: int,
+    evaluator: str = "MLEVAL",              # ML | MLST | MLEVAL
+    eval_interval: int = 1,
+    n_workers: int = 4,
+    weight_strategy: str = "inv",
+    use_grayscale: bool = False,
+    resume: bool = False,
+    mesh=None,
+    manifest_args: Optional[Dict] = None,
+    set_mode: str = "train",
+):
+    exp = ExperimentDir(experiment_dir, experiment_name)
+    write_manifest(exp, manifest_args or {})
+    logger = MetricsLogger(exp)
+    ckpt = Checkpointer(exp)
+
+    trainer = ClassifierTrainer(labelmap, cfg, mesh=mesh,
+                                grayscale=use_grayscale)
+    pipes = {
+        split: ImagePipeline(
+            ds, labelmap, image_root, image_size=cfg.image_size,
+            batch_size=cfg.batch_size, train=(split == "train"),
+            grayscale=use_grayscale, num_workers=n_workers)
+        for split, ds in datasets.items()
+    }
+    resampler = WeightedResampler(datasets["train"].leaf_labels,
+                                  labelmap.levels[-1], weight_strategy)
+
+    start_epoch = 0
+    thresholds = None
+    like = {"params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+            "opt_state": trainer.state.opt_state}
+    if resume:
+        latest = ckpt.find_existing_weights()
+        if latest is not None:
+            payload = ckpt.load(latest, like)
+            trainer.state = trainer.state.replace(**payload)
+            start_epoch = latest + 1
+
+    best_score, best_epoch = -1.0, -1
+    rng = np.random.RandomState(cfg.seed)
+
+    def evaluate(split, epoch, tag):
+        scores, ll, mh, loss = _eval_pass(
+            trainer, pipes[split], np.arange(len(datasets[split])))
+        nonlocal thresholds
+        if evaluator == "ML" and split == "val":
+            thresholds = tune_per_class_thresholds(scores, mh)
+        elif evaluator == "MLST" and split == "val":
+            thresholds = tune_single_threshold(scores, mh)
+        m, flat, score = _classifier_metrics(
+            evaluator, scores, ll, mh, labelmap, thresholds)
+        logger.scalars(tag, flat, epoch)
+        logger.scalar(f"{tag}/loss", loss / max(len(datasets[split]), 1), epoch)
+        _write_level_report(exp, tag, epoch, flat)
+        return scores, ll, score, flat
+
+    if set_mode == "train":
+        for epoch in range(start_epoch, n_epochs):
+            t0 = time.time()
+            order = resampler.order(rng)
+            epoch_loss, n_seen = 0.0, 0
+            for batch in pipes["train"].batches(order, seed=epoch):
+                b = trainer.put_batch(batch["image"], batch["level_labels"],
+                                      batch["multihot"])
+                trainer.state, loss = trainer.train_step(trainer.state, *b)
+                epoch_loss += float(loss)
+                n_seen += len(batch["image"])
+            logger.scalar("train/loss", epoch_loss / max(n_seen, 1), epoch)
+            logger.scalar("epoch_time_train", time.time() - t0, epoch)
+
+            if epoch % eval_interval == 0 or epoch == n_epochs - 1:
+                _, _, val_score, _ = evaluate("val", epoch, "val")
+                evaluate("test", epoch, "test")
+                if val_score > best_score:
+                    best_score, best_epoch = val_score, epoch
+                    ckpt.save("best_model", {
+                        "params": trainer.state.params,
+                        "batch_stats": trainer.state.batch_stats,
+                        "opt_state": trainer.state.opt_state})
+            ckpt.save(epoch, {"params": trainer.state.params,
+                              "batch_stats": trainer.state.batch_stats,
+                              "opt_state": trainer.state.opt_state})
+            logger.scalar("epoch_time", time.time() - t0, epoch)
+
+    # load best + final test with score dumps (experiment.py:217-224,
+    # finetuner.py:263-265)
+    if best_epoch >= 0 or set_mode != "train":
+        try:
+            payload = ckpt.load("best_model", like)
+            trainer.state = trainer.state.replace(**payload)
+        except Exception:
+            pass
+    scores, ll, test_score, flat = evaluate(
+        "test", max(best_epoch, 0), "best_test")
+    np.save(os.path.join(exp.stats, "predicted_scores.npy"), scores)
+    np.save(os.path.join(exp.stats, "correct_labels.npy"), ll)
+    logger.close()
+    return {"best_val_score": best_score, "best_epoch": best_epoch,
+            "test_metrics": flat, "experiment": exp}
+
+
+# ---------------------------------------------------------------------------
+# label-only embeddings
+# ---------------------------------------------------------------------------
+
+def run_label_embedding(
+    labelmap,
+    splits,
+    config,
+    *,
+    experiment_dir: str,
+    experiment_name: str,
+    n_epochs: int,
+    eval_interval: int = 1,
+    check_reconstr_every: int = 10,
+    resume: bool = False,
+    manifest_args: Optional[Dict] = None,
+    init_embeddings: Optional[np.ndarray] = None,
+):
+    from .embedding import EmbeddingTrainer
+
+    exp = ExperimentDir(experiment_dir, experiment_name)
+    write_manifest(exp, manifest_args or {})
+    logger = MetricsLogger(exp)
+    ckpt = Checkpointer(exp)
+    trainer = EmbeddingTrainer(labelmap, splits, config)
+    if init_embeddings is not None:
+        trainer.load_embedding_table(init_embeddings)
+
+    start_epoch = 0
+    like = {"params": trainer.params, "opt_state": trainer.opt_state,
+            "optimal_threshold": 0.0}
+    if resume:
+        latest = ckpt.find_existing_weights()
+        if latest is not None:
+            payload = ckpt.load(latest, like)
+            trainer.params = payload["params"]
+            trainer.opt_state = payload["opt_state"]
+            trainer.optimal_threshold = float(payload["optimal_threshold"])
+            start_epoch = latest + 1
+
+    best_f1, best_epoch = -1.0, -1
+    rng = np.random.RandomState(config.seed)
+    for epoch in range(start_epoch, n_epochs):
+        t0 = time.time()
+        stats = trainer.train_epoch(rng)
+        logger.scalars("train", stats, epoch)
+        if epoch % eval_interval == 0 and len(splits.val):
+            val = trainer.evaluate("val")
+            logger.scalars("val", {"f1": float(val.f1),
+                                   "threshold": float(val.threshold),
+                                   "accuracy": float(val.accuracy)}, epoch)
+            if float(val.f1) > best_f1:
+                best_f1, best_epoch = float(val.f1), epoch
+                ckpt.save("best_model", {
+                    "params": trainer.params,
+                    "opt_state": trainer.opt_state,
+                    "optimal_threshold": trainer.optimal_threshold or 0.0})
+        if check_reconstr_every and epoch % check_reconstr_every == 0:
+            rec = trainer.reconstruction()
+            logger.scalars("reconstruction", {
+                "f1": float(rec.f1), "accuracy": float(rec.accuracy),
+                "threshold": float(rec.threshold)}, epoch)
+        ckpt.save(epoch, {"params": trainer.params,
+                          "opt_state": trainer.opt_state,
+                          "optimal_threshold": trainer.optimal_threshold or 0.0})
+        logger.scalar("epoch_time", time.time() - t0, epoch)
+
+    results = {"best_val_f1": best_f1, "best_epoch": best_epoch}
+    if len(splits.test):
+        test = trainer.evaluate("test")
+        results["test_f1"] = float(test.f1)
+        logger.scalars("test", {"f1": float(test.f1)}, n_epochs)
+    rec = trainer.reconstruction()
+    results["reconstruction_f1"] = float(rec.f1)
+    logger.close()
+    return {**results, "trainer": trainer, "experiment": exp}
+
+
+# ---------------------------------------------------------------------------
+# joint embeddings
+# ---------------------------------------------------------------------------
+
+def run_joint_embedding(
+    labelmap,
+    graph,
+    train_edges,
+    features,
+    config,
+    *,
+    experiment_dir: str,
+    experiment_name: str,
+    n_epochs: int,
+    eval_interval: int = 1,
+    eval_features: Optional[Dict[str, np.ndarray]] = None,
+    eval_paths: Optional[Dict[str, np.ndarray]] = None,
+    resume: bool = False,
+    manifest_args: Optional[Dict] = None,
+):
+    """eval_features/eval_paths: per split ('val'/'test') fc7 arrays and
+    (n, L) global ancestor paths for held-out images."""
+    from .joint import JointEmbeddingTrainer
+
+    exp = ExperimentDir(experiment_dir, experiment_name)
+    write_manifest(exp, manifest_args or {})
+    logger = MetricsLogger(exp)
+    ckpt = Checkpointer(exp)
+    trainer = JointEmbeddingTrainer(labelmap, graph, train_edges, features,
+                                    config)
+
+    start_epoch = 0
+    like = {"params": trainer.params, "opt_state": trainer.opt_state}
+    if resume:
+        latest = ckpt.find_existing_weights()
+        if latest is not None:
+            payload = ckpt.load(latest, like)
+            trainer.params = payload["params"]
+            trainer.opt_state = payload["opt_state"]
+            start_epoch = latest + 1
+
+    def split_metrics(split):
+        if eval_features and split in eval_features:
+            return trainer.classification_metrics(
+                img_paths_global=eval_paths[split],
+                features=eval_features[split])
+        return trainer.classification_metrics()
+
+    best_f1, best_epoch = -1.0, -1
+    rng = np.random.RandomState(config.seed)
+    for epoch in range(start_epoch, n_epochs):
+        t0 = time.time()
+        stats = trainer.train_epoch(epoch, rng)
+        logger.scalars("train", stats, epoch)
+        if epoch % eval_interval == 0:
+            m = split_metrics("val")
+            scal = {k: v for k, v in m.items() if isinstance(v, float)}
+            logger.scalars("val", scal, epoch)
+            if m["micro_f1"] > best_f1:
+                best_f1, best_epoch = m["micro_f1"], epoch
+                ckpt.save("best_model", {"params": trainer.params,
+                                         "opt_state": trainer.opt_state})
+        ckpt.save(epoch, {"params": trainer.params,
+                          "opt_state": trainer.opt_state})
+        logger.scalar("epoch_time", time.time() - t0, epoch)
+
+    rec = trainer.reconstruction()
+    logger.scalars("reconstruction", {"f1": float(rec.f1)}, n_epochs)
+    mtest = split_metrics("test")
+    logger.close()
+    return {"best_val_micro_f1": best_f1, "best_epoch": best_epoch,
+            "test_metrics": {k: v for k, v in mtest.items()
+                             if isinstance(v, float)},
+            "reconstruction_f1": float(rec.f1),
+            "trainer": trainer, "experiment": exp}
