@@ -1,0 +1,108 @@
+"""FashionMNIST hierarchical classifier driver — counterpart of
+`network/fashion_mnist.py` __main__ (:262-283): 2-level (4 families / 10
+classes) taxonomy, 1-channel input, RandomResizedCrop(224) transforms."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..data.workloads import (
+    ArrayDataset,
+    fmnist_labelmap,
+    load_fmnist,
+    stratified_index_split,
+    synthetic_array_dataset,
+)
+from ..train.classifier import ClassifierConfig
+from ..train.runner import run_classifier
+from .common import manifest_from_args
+
+LOSS_MAP = {
+    "multi_level": "multi_level_ce",
+    "last_level": "last_level_ce",
+    "masked_loss": "masked_ce",
+    "multi_label": "multi_label_sm",
+    "hsoftmax": "hsoftmax",
+}
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--evaluator", type=str, default="MLST")
+    parser.add_argument("--experiment_name", type=str, required=True)
+    parser.add_argument("--experiment_dir", type=str, required=True)
+    parser.add_argument("--n_epochs", type=int, required=True)
+    parser.add_argument("--n_workers", type=int, default=4)
+    parser.add_argument("--eval_interval", type=int, default=1)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--optimizer_method", type=str, default="adam")
+    parser.add_argument("--model", type=str, default="resnet18")
+    parser.add_argument("--loss", type=str, required=True)
+    parser.add_argument("--freeze_weights", action="store_true")
+    parser.add_argument("--set_mode", type=str, required=True)
+    parser.add_argument("--data_root", type=str, default="../database",
+                        help="Directory with FashionMNIST/raw idx files; a "
+                             "synthetic class-colored dataset is used when "
+                             "absent (no network in this image).")
+    parser.add_argument("--image_size", type=int, default=224)
+    parser.add_argument("--random_seed", type=int, default=0)
+    return parser
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    labelmap = fmnist_labelmap()
+    try:
+        tr_i, tr_l, te_i, te_l = load_fmnist(args.data_root)
+        images = np.concatenate([tr_i, te_i])
+        labels = np.concatenate([tr_l, te_l])
+    except FileNotFoundError:
+        print("== FashionMNIST files not found; using a synthetic stand-in")
+        n = 600 if args.debug else 6000
+        ds = synthetic_array_dataset(labelmap, n, size=28, channels=1,
+                                     seed=args.random_seed)
+        images, labels = ds.images, ds.leaf_labels
+    if args.debug:
+        images, labels = images[:600], labels[:600]
+
+    tr, va, te = stratified_index_split(labels, seed=args.random_seed)
+    datasets = {
+        "train": ArrayDataset(images[tr], labels[tr], labelmap),
+        "val": ArrayDataset(images[va], labels[va], labelmap),
+        "test": ArrayDataset(images[te], labels[te], labelmap),
+    }
+    cfg = ClassifierConfig(
+        backbone=args.model,
+        criterion=LOSS_MAP[args.loss],
+        lr=args.lr,
+        optimizer=args.optimizer_method,
+        freeze_trunk=args.freeze_weights,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        seed=args.random_seed,
+    )
+    evaluator = args.evaluator if args.loss == "multi_label" else "MLEVAL"
+    return run_classifier(
+        labelmap, datasets, "", cfg,
+        experiment_dir=args.experiment_dir,
+        experiment_name=args.experiment_name,
+        n_epochs=args.n_epochs,
+        evaluator=evaluator,
+        eval_interval=args.eval_interval,
+        n_workers=args.n_workers,
+        use_grayscale=True,
+        resume=args.resume,
+        manifest_args=manifest_from_args(args),
+        set_mode=args.set_mode,
+        augment="rrc",
+        use_weighted_resampler=False,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Inference / interpretability harness — counterpart of
+`network/inference.py` (:42-372):
+
+* rebuilds a trained classifier experiment from its `config_params.txt`
+  manifest (the de-facto experiment contract, inference.py:43-58),
+* `--mode tsne`: dumps penultimate trunk features per split
+  (`{split}_representations.npy`, the forward-hook dump of
+  inference.py:206-246) and renders a 3-D t-SNE per level,
+* `--mode lime`: per-level explanation maps. The reference uses the `lime`
+  package (unavailable here); we ship a built-in occlusion explainer —
+  slide a gray patch over the image and record the per-level score drop —
+  which yields the same kind of per-level saliency masks + markdown report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data import ImagePipeline
+from ..eval.reports import Summarize
+from ..train.classifier import ClassifierConfig, ClassifierTrainer
+from ..train.experiment import Checkpointer, ExperimentDir, read_manifest
+from .common import load_ethec_data
+from .ethec_experiments import LOSS_MAP
+
+
+def rebuild_from_manifest(experiment_path: str):
+    """(labelmap, datasets, trainer-with-best-weights, manifest)."""
+    manifest = read_manifest(os.path.join(experiment_path,
+                                          "config_params.txt"))
+    data_dir = manifest.get("data_dir", "/root/reference/splits/ETHEC")
+    debug = manifest.get("debug", "False") == "True"
+    labelmap, datasets, _ = load_ethec_data(data_dir, debug)
+    cfg = ClassifierConfig(
+        backbone=manifest.get("model", "resnet50"),
+        criterion=LOSS_MAP.get(manifest.get("loss", "multi_level"),
+                               "multi_level_ce"),
+        image_size=int(manifest.get("image_size", 448)),
+        batch_size=int(manifest.get("batch_size", 8)),
+        seed=int(manifest.get("random_seed", 0)),
+    )
+    grayscale = manifest.get("use_grayscale", "False") == "True"
+    trainer = ClassifierTrainer(labelmap, cfg, grayscale=grayscale)
+    exp = ExperimentDir(*os.path.split(experiment_path.rstrip("/")))
+    ckpt = Checkpointer(exp)
+    like = {"params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+            "opt_state": trainer.state.opt_state}
+    name = "best_model" if "best_model" in os.listdir(exp.weights) else \
+        ckpt.find_existing_weights()
+    payload = ckpt.load(name, like)
+    trainer.state = trainer.state.replace(**payload)
+    return labelmap, datasets, trainer, manifest, exp, grayscale
+
+
+def run_tsne(experiment_path: str, image_dir: str, splits=("val", "test"),
+             max_samples: int = 2000, render: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    labelmap, datasets, trainer, manifest, exp, gray = \
+        rebuild_from_manifest(experiment_path)
+    outputs = {}
+    for split in splits:
+        if split not in datasets:
+            continue
+        ds = datasets[split]
+        n = min(len(ds), max_samples)
+        pipe = ImagePipeline(ds, labelmap, image_dir,
+                             image_size=trainer.cfg.image_size,
+                             batch_size=32, train=False, grayscale=gray,
+                             num_workers=4)
+        feats, labels = [], []
+        seen = 0
+        for batch in pipe.batches(np.arange(n)):
+            feats.append(np.asarray(_trunk_apply(trainer,
+                                                 jnp.asarray(batch["image"]))))
+            labels.append(batch["level_labels"])
+            seen += len(batch["image"])
+        F = np.concatenate(feats)
+        L = np.concatenate(labels)
+        np.save(os.path.join(exp.stats, f"{split}_representations.npy"), F)
+        np.save(os.path.join(exp.stats, f"{split}_level_labels.npy"), L)
+        outputs[split] = (F, L)
+        if render:
+            from ..viz.tsne import render_tsne
+
+            render_tsne(F, L, labelmap,
+                        os.path.join(exp.stats, f"tsne_{split}"))
+    return outputs
+
+
+def _trunk_apply(trainer, images):
+    """Trunk (penultimate) features of the classifier — the reference's
+    forward-hook dump on the fc input (inference.py:206-246)."""
+    from ..models.resnet import BACKBONES
+
+    trunk = BACKBONES[trainer.cfg.backbone](
+        num_classes=None, dtype=trainer.cfg.dtype, features_only=True)
+    return trunk.apply(
+        {"params": trainer.state.params["trunk"],
+         "batch_stats": trainer.state.batch_stats["trunk"]},
+        images, train=False)
+
+
+def run_occlusion(experiment_path: str, image_dir: str, split: str = "test",
+                  n_samples: int = 4, patch: int = 56, stride: int = 28):
+    """Occlusion saliency per level (LIME-equivalent explainer)."""
+    import jax
+    import jax.numpy as jnp
+
+    labelmap, datasets, trainer, manifest, exp, gray = \
+        rebuild_from_manifest(experiment_path)
+    ds = datasets[split]
+    pipe = ImagePipeline(ds, labelmap, image_dir,
+                         image_size=trainer.cfg.image_size, batch_size=1,
+                         train=False, grayscale=gray, num_workers=2)
+
+    @jax.jit
+    def scores_fn(images):
+        raw = trainer.model.apply(
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats}, images, train=False)
+        return raw
+
+    out_dir = os.path.join(exp.stats, f"occlusion_{split}")
+    summ = Summarize(out_dir)
+    summ.make_heading(f"Occlusion explanations — {split}", 1)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    S = trainer.cfg.image_size
+    for i, batch in enumerate(pipe.batches(np.arange(min(n_samples, len(ds))))):
+        img = batch["image"]
+        ll = batch["level_labels"][0]
+        base = np.asarray(scores_fn(jnp.asarray(img)))[0]
+        # occluded grid
+        ys = list(range(0, S - patch + 1, stride))
+        xs = list(range(0, S - patch + 1, stride))
+        occluded = []
+        for y in ys:
+            for x in xs:
+                o = img.copy()
+                o[0, y:y + patch, x:x + patch] = 0.5
+                occluded.append(o[0])
+        occ_scores = []
+        for s0 in range(0, len(occluded), 32):
+            occ_scores.append(np.asarray(
+                scores_fn(jnp.asarray(np.stack(occluded[s0:s0 + 32])))))
+        occ = np.concatenate(occ_scores)
+        summ.make_heading(f"Sample {i}: {ds.image_paths[batch['index'][0]]}", 2)
+        fig, axes = plt.subplots(1, labelmap.n_levels + 1,
+                                 figsize=(4 * (labelmap.n_levels + 1), 4))
+        axes[0].imshow(img[0] if img.shape[-1] == 3 else img[0, ..., 0])
+        axes[0].set_title("input")
+        for l in range(labelmap.n_levels):
+            a = int(labelmap.level_start[l])
+            gt = a + int(ll[l])
+            drop = (base[gt] - occ[:, gt]).reshape(len(ys), len(xs))
+            axes[l + 1].imshow(drop, cmap="hot")
+            axes[l + 1].set_title(
+                f"L{l}: {labelmap.ix_to_name[l][int(ll[l])]}")
+        path = os.path.join(out_dir, f"sample_{i}.png")
+        fig.savefig(path, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+        summ.make_image(f"sample_{i}.png", f"occlusion sample {i}")
+    print(f"wrote {out_dir}")
+    return out_dir
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experiment_path", type=str, required=True,
+                        help="<experiment_dir>/<experiment_name>")
+    parser.add_argument("--image_dir", type=str, required=True)
+    parser.add_argument("--mode", type=str, required=True,
+                        help="[lime, tsne] (lime = built-in occlusion)")
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--n_samples", type=int, default=4)
+    args = parser.parse_args(args)
+    if args.mode == "tsne":
+        run_tsne(args.experiment_path, args.image_dir, splits=(args.split,))
+    else:
+        run_occlusion(args.experiment_path, args.image_dir, split=args.split,
+                      n_samples=args.n_samples)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,34 @@ def augment_eval(img: np.ndarray, size: int) -> np.ndarray:
     return _resize(img, (size, size))
 
 
+def augment_random_resized_crop(img: np.ndarray, size: int,
+                                rng: np.random.RandomState,
+                                scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> np.ndarray:
+    """torchvision RandomResizedCrop + hflip (the CIFAR/FMNIST train
+    transforms, fashion_mnist.py:74-79, finetuner.py:651-657)."""
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        log_r = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
+        r = np.exp(log_r)
+        cw = int(round(np.sqrt(target * r)))
+        ch = int(round(np.sqrt(target / r)))
+        if 0 < cw <= w and 0 < ch <= h:
+            y = rng.randint(0, h - ch + 1)
+            x = rng.randint(0, w - cw + 1)
+            crop = img[y:y + ch, x:x + cw]
+            break
+    else:
+        s = min(h, w)
+        y, x = (h - s) // 2, (w - s) // 2
+        crop = img[y:y + s, x:x + s]
+    out = _resize(crop, (size, size))
+    if rng.rand() < 0.5:
+        out = out[:, ::-1]
+    return out
+
+
 class ImagePipeline:
     """Threaded decode+augment over an EncodedDataset; yields NHWC float32
     batches with (level_labels, multihot). Order comes from a caller-supplied
@@ -87,7 +115,8 @@ class ImagePipeline:
                  image_size: int = 448, batch_size: int = 64,
                  train: bool = True, grayscale: bool = False,
                  num_workers: int = 8, prefetch: int = 4,
-                 normalize: Optional[Tuple[Sequence[float], Sequence[float]]] = None):
+                 normalize: Optional[Tuple[Sequence[float], Sequence[float]]] = None,
+                 augment: str = "ethec"):
         self.ds = dataset
         self.labelmap = labelmap
         self.image_root = image_root
@@ -98,16 +127,25 @@ class ImagePipeline:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.normalize = normalize
+        self.augment = augment   # 'ethec' (resize+crop+flip) | 'rrc'
         self._multihot = dataset.multihot(labelmap)
 
     def __len__(self):
         return len(self.ds) // self.bs if self.train else -(-len(self.ds) // self.bs)
 
     def _load_one(self, i: int, seed: int) -> np.ndarray:
-        img = decode_image(os.path.join(self.image_root, self.ds.image_paths[i]),
-                           self.grayscale)
+        if hasattr(self.ds, "images"):          # in-memory ArrayDataset
+            img = self.ds.images[i]
+        else:
+            img = decode_image(
+                os.path.join(self.image_root, self.ds.image_paths[i]),
+                self.grayscale)
         if self.train:
-            img = augment_train(img, self.size, np.random.RandomState(seed))
+            rng = np.random.RandomState(seed)
+            if self.augment == "rrc":
+                img = augment_random_resized_crop(img, self.size, rng)
+            else:
+                img = augment_train(img, self.size, rng)
         else:
             img = augment_eval(img, self.size)
         out = img.astype(np.float32) / 255.0

@@ -109,6 +109,8 @@ def run_classifier(
     mesh=None,
     manifest_args: Optional[Dict] = None,
     set_mode: str = "train",
+    augment: str = "ethec",
+    use_weighted_resampler: bool = True,
 ):
     exp = ExperimentDir(experiment_dir, experiment_name)
     write_manifest(exp, manifest_args or {})
@@ -121,11 +123,13 @@ def run_classifier(
         split: ImagePipeline(
             ds, labelmap, image_root, image_size=cfg.image_size,
             batch_size=cfg.batch_size, train=(split == "train"),
-            grayscale=use_grayscale, num_workers=n_workers)
+            grayscale=use_grayscale, num_workers=n_workers, augment=augment)
         for split, ds in datasets.items()
     }
     resampler = WeightedResampler(datasets["train"].leaf_labels,
                                   labelmap.levels[-1], weight_strategy)
+    if not use_weighted_resampler:
+        resampler = None
 
     start_epoch = 0
     thresholds = None
@@ -160,7 +164,8 @@ def run_classifier(
     if set_mode == "train":
         for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
-            order = resampler.order(rng)
+            order = (resampler.order(rng) if resampler is not None
+                     else shuffled_order(len(datasets["train"]), rng))
             epoch_loss, n_seen = 0.0, 0
             for batch in pipes["train"].batches(order, seed=epoch):
                 b = trainer.put_batch(batch["image"], batch["level_labels"],

@@ -1,0 +1,40 @@
+"""t-SNE feature visualization — counterpart of `network/viz_tsne.py`
+(:15-104): 3-D t-SNE of penultimate features, one figure per taxonomy
+level (the reference renders rotating mp4s; we save multi-angle PNGs —
+no ffmpeg in this image)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["render_tsne"]
+
+
+def render_tsne(features: np.ndarray, level_labels: np.ndarray, labelmap,
+                out_dir: str, n_components: int = 3,
+                angles=(0, 60, 120), max_points: int = 2000) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.manifold import TSNE
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = min(len(features), max_points)
+    emb = TSNE(n_components=n_components, init="pca",
+               perplexity=min(30, max(5, n // 10)),
+               random_state=0).fit_transform(features[:n])
+    for l in range(labelmap.n_levels):
+        labels = level_labels[:n, l]
+        fig = plt.figure(figsize=(5 * len(angles), 5))
+        for j, az in enumerate(angles):
+            ax = fig.add_subplot(1, len(angles), j + 1, projection="3d")
+            sc = ax.scatter(emb[:, 0], emb[:, 1], emb[:, 2], c=labels,
+                            cmap="tab20", s=6, alpha=0.8)
+            ax.view_init(elev=20, azim=az)
+            ax.set_title(f"level {l} az={az}")
+        fig.savefig(os.path.join(out_dir, f"tsne_level{l}.png"),
+                    bbox_inches="tight", dpi=110)
+        plt.close(fig)
