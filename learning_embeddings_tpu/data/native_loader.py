@@ -1,0 +1,97 @@
+"""ctypes binding for the native C++ batch loader (native/le_loader.cc).
+
+Builds the shared library on first use (g++ + libjpeg, both in the image)
+and exposes ``load_augment_batch`` — the fused decode→resize→crop→flip→
+normalize pass. ``available()`` gates callers so the cv2 python pipeline
+remains the fallback."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "lible_loader.so"))
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+__all__ = ["available", "load_augment_batch", "resize_bilinear"]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.le_load_augment_batch.restype = ctypes.c_int
+        lib.le_load_augment_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.le_resize_bilinear.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_augment_batch(paths: Sequence[str], size: int, *, pad: int = 64,
+                       train: bool = True, grayscale: bool = False,
+                       seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """(batch (N, S, S, C) float32 in [0,1], status (N,) int32 — 0 = ok)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (build failed)")
+    n = len(paths)
+    c = 1 if grayscale else 3
+    out = np.empty((n, size, size, c), np.float32)
+    status = np.empty((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.le_load_augment_batch(
+        arr, n, size, pad, int(train), int(grayscale),
+        ctypes.c_uint64(seed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out, status
+
+
+def resize_bilinear(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((oh, ow, c), np.uint8)
+    lib.le_resize_bilinear(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow)
+    return out

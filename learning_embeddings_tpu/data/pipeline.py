@@ -129,6 +129,18 @@ class ImagePipeline:
         self.normalize = normalize
         self.augment = augment   # 'ethec' (resize+crop+flip) | 'rrc'
         self._multihot = dataset.multihot(labelmap)
+        # native C++ fast path: fused jpeg decode+resize+crop+flip+normalize
+        # with its own thread pool (native/le_loader.cc); python/cv2 remains
+        # the fallback for non-jpeg inputs, in-memory datasets, 'rrc'
+        # augmentation and custom normalization.
+        self._native = False
+        if (not hasattr(dataset, "images") and augment == "ethec"
+                and normalize is None and len(dataset.image_paths) > 0
+                and dataset.image_paths[0].lower().endswith((".jpg", ".jpeg"))):
+            from . import native_loader
+
+            self._native = native_loader.available()
+            self._native_loader = native_loader
 
     def __len__(self):
         return len(self.ds) // self.bs if self.train else -(-len(self.ds) // self.bs)
@@ -170,11 +182,26 @@ class ImagePipeline:
                     if stop.is_set():
                         return
                     idx = order[b * bs:(b + 1) * bs]
-                    imgs = list(pool.map(
-                        lambda t: self._load_one(t[1], seed * 1_000_003 + t[0]),
-                        enumerate(idx, start=b * bs)))
+                    if self._native:
+                        paths = [os.path.join(self.image_root,
+                                              self.ds.image_paths[i])
+                                 for i in idx]
+                        images, status = self._native_loader.load_augment_batch(
+                            paths, self.size, pad=64, train=self.train,
+                            grayscale=self.grayscale,
+                            seed=seed * 1_000_003 + b * bs)
+                        if (status != 0).any():
+                            bad = [paths[j] for j in np.nonzero(status)[0][:3]]
+                            raise FileNotFoundError(
+                                f"native loader failed on {bad} "
+                                f"(codes {status[status != 0][:3]})")
+                    else:
+                        images = np.stack(list(pool.map(
+                            lambda t: self._load_one(t[1],
+                                                     seed * 1_000_003 + t[0]),
+                            enumerate(idx, start=b * bs))))
                     batch = {
-                        "image": np.stack(imgs),
+                        "image": images,
                         "level_labels": self.ds.level_labels[idx],
                         "leaf_labels": self.ds.leaf_labels[idx],
                         "multihot": self._multihot[idx],

@@ -1,0 +1,206 @@
+// le_loader — native data-loading runtime for learning_embeddings_tpu.
+//
+// The reference's input pipeline is torchvision transforms + cv2 reads in
+// DataLoader worker *processes* (db.py:3792-3798, ethec_experiments.py:
+// 263-291). This library replaces that host path with one fused native
+// pass per image — JPEG decode (libjpeg) → bilinear resize → random crop →
+// horizontal flip → float32 [0,1] normalize — executed by an internal
+// std::thread pool directly into the caller's pinned batch buffer, so
+// Python touches each image exactly zero times.
+//
+// C ABI (ctypes-friendly); see learning_embeddings_tpu/data/native_loader.py.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <csetjmp>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+// Decode a JPEG byte buffer into an RGB (or grayscale) uint8 image.
+// Returns nullptr on failure.
+uint8_t* decode_jpeg(const uint8_t* data, size_t size, int want_gray,
+                     int* h, int* w, int* c) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  uint8_t* out = nullptr;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    free(out);
+    return nullptr;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = want_gray ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  *c = cinfo.output_components;
+  size_t stride = static_cast<size_t>(*w) * (*c);
+  out = static_cast<uint8_t*>(malloc(stride * (*h)));
+  if (!out) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + stride * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return out;
+}
+
+// Bilinear resize uint8 HWC -> (oh, ow), half-pixel-center convention
+// (matches cv2.INTER_LINEAR / PIL sampling).
+void resize_bilinear(const uint8_t* src, int h, int w, int c,
+                     uint8_t* dst, int oh, int ow) {
+  const float sy = static_cast<float>(h) / oh;
+  const float sx = static_cast<float>(w) / ow;
+  for (int y = 0; y < oh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(fy, 0.f);
+    int y0 = static_cast<int>(fy);
+    y0 = std::min(y0, h - 1);
+    int y1 = std::min(y0 + 1, h - 1);
+    float wy = fy - y0;
+    for (int x = 0; x < ow; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      fx = std::max(fx, 0.f);
+      int x0 = static_cast<int>(fx);
+      x0 = std::min(x0, w - 1);
+      int x1 = std::min(x0 + 1, w - 1);
+      float wx = fx - x0;
+      for (int k = 0; k < c; ++k) {
+        float v00 = src[(y0 * w + x0) * c + k];
+        float v01 = src[(y0 * w + x1) * c + k];
+        float v10 = src[(y1 * w + x0) * c + k];
+        float v11 = src[(y1 * w + x1) * c + k];
+        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                  v10 * wy * (1 - wx) + v11 * wy * wx;
+        dst[(y * ow + x) * c + k] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+// One element of the batch: read file, decode, resize(S+pad), random crop
+// S, random flip, normalize into out (S*S*C f32). Returns 0 on success.
+int load_one(const char* path, int size, int pad, int train, int gray,
+             uint64_t seed, float* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(fsize);
+  if (fread(buf.data(), 1, fsize, f) != static_cast<size_t>(fsize)) {
+    fclose(f);
+    return 2;
+  }
+  fclose(f);
+
+  int h, w, c;
+  uint8_t* img = decode_jpeg(buf.data(), buf.size(), gray, &h, &w, &c);
+  if (!img) return 3;
+
+  std::mt19937_64 rng(seed);
+  int big = train ? size + pad : size;
+  std::vector<uint8_t> resized(static_cast<size_t>(big) * big * c);
+  resize_bilinear(img, h, w, c, resized.data(), big, big);
+  free(img);
+
+  int y0 = 0, x0 = 0;
+  bool flip = false;
+  if (train) {
+    y0 = static_cast<int>(rng() % (pad + 1));
+    x0 = static_cast<int>(rng() % (pad + 1));
+    flip = (rng() & 1) != 0;
+  }
+  const float inv = 1.0f / 255.0f;
+  for (int y = 0; y < size; ++y) {
+    const uint8_t* row = resized.data() + ((y0 + y) * big + x0) * c;
+    float* orow = out + static_cast<size_t>(y) * size * c;
+    if (!flip) {
+      for (int i = 0; i < size * c; ++i) orow[i] = row[i] * inv;
+    } else {
+      for (int x = 0; x < size; ++x)
+        for (int k = 0; k < c; ++k)
+          orow[x * c + k] = row[(size - 1 - x) * c + k] * inv;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load + augment a batch of images in parallel.
+//   paths:  n file paths (jpeg)
+//   size:   output side (SxS)
+//   pad:    resize headroom for the random crop (train only; 64 upstream)
+//   train:  1 = random crop + flip, 0 = plain resize
+//   gray:   1 = grayscale (C=1), 0 = RGB (C=3)
+//   seed:   base RNG seed; element i uses seed + i
+//   out:    preallocated n*size*size*C float32 buffer
+//   status: per-element return codes (0 ok)
+// Returns the number of successfully loaded images.
+int le_load_augment_batch(const char** paths, int n, int size, int pad,
+                          int train, int gray, uint64_t seed, float* out,
+                          int* status) {
+  int c = gray ? 1 : 3;
+  size_t elem = static_cast<size_t>(size) * size * c;
+  int n_threads = std::min<unsigned>(std::thread::hardware_concurrency(),
+                                     static_cast<unsigned>(n));
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = load_one(paths[i], size, pad, train, gray,
+                        seed + static_cast<uint64_t>(i) * 0x9E3779B97F4A7C15ull,
+                        out + elem * i);
+      status[i] = rc;
+      if (rc == 0) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+// Standalone bilinear resize for testing / preprocessing.
+void le_resize_bilinear(const uint8_t* src, int h, int w, int c,
+                        uint8_t* dst, int oh, int ow) {
+  resize_bilinear(src, h, w, c, dst, oh, ow);
+}
+
+int le_version() { return 1; }
+
+}  // extern "C"
