@@ -72,6 +72,9 @@ def main(args=None):
         image_size=args.image_size,
         batch_size=args.batch_size,
         seed=args.random_seed,
+        # --use_2d: 2-d bottleneck + per-level bias-free heads
+        # (CNN2DFeat / ETHEC2D variant, ethec_experiments.py:35-200)
+        head_override="bottleneck2d" if args.use_2d else None,
     )
     evaluator = args.evaluator if args.loss == "multi_label" else "MLEVAL"
     return run_classifier(

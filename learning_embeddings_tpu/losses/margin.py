@@ -142,6 +142,42 @@ def margin_loss(
     return loss, (e_pos, e_neg)
 
 
+def simple_euclidean_nll_loss(emb_pos_from, emb_pos_to, emb_neg_from,
+                              emb_neg_to, neg_to_pos_ratio: int):
+    """NLL of softmax(−d²) over {positive, its negatives} — the reference's
+    unused-alternative SimpleEuclideanEmbLoss (order_embeddings.py:1108-1202):
+
+      loss_i = d²(u_i, v_i) + log(Σ_j exp(−d²(u'_ij, v'_ij)) + exp(0))
+
+    (the exp(0) term is the reference's d(u,u) self-distance).
+    Returns (loss, (d_pos, d_neg))."""
+    d_pos = jnp.sum((emb_pos_to - emb_pos_from) ** 2, axis=-1)       # (B,)
+    d_neg = jnp.sum((emb_neg_to - emb_neg_from) ** 2, axis=-1)       # (2RB,)
+    B = d_pos.shape[0]
+    d_neg_b = d_neg.reshape(B, 2 * neg_to_pos_ratio)
+    loss = jnp.sum(
+        d_pos + jnp.log(jnp.sum(jnp.exp(-d_neg_b), axis=1) + 1.0))
+    return loss, (d_pos, d_neg)
+
+
+def vendrov_ranking_loss(emb_pos_from, emb_pos_to, emb_neg_from, emb_neg_to,
+                         *, energy: str, alpha: float,
+                         neg_to_pos_ratio: int, **energy_kw):
+    """Max-margin caption-ranking loss of the early joint prototype
+    (order_embeddings_images.py:533-542 `get_image_label_loss`):
+
+      S_i = Σ_j max(0, α − s⁺_i + s⁻_ij)   with s = −E.
+
+    Returns (loss, (e_pos, e_neg))."""
+    efn = ENERGY_FNS[energy]
+    e_pos = efn(emb_pos_from, emb_pos_to, **energy_kw)               # (B,)
+    e_neg = efn(emb_neg_from, emb_neg_to, **energy_kw)               # (2RB,)
+    B = e_pos.shape[0]
+    e_neg_b = e_neg.reshape(B, 2 * neg_to_pos_ratio)
+    margins = jnp.maximum(alpha + e_pos[:, None] - e_neg_b, 0.0)
+    return jnp.sum(margins), (e_pos, e_neg)
+
+
 def eval_edge_energies(emb_from, emb_to, status, *, energy: str, alpha: float,
                        **energy_kw):
     """Eval-phase loss and energy split by status flag (1 = positive edge)

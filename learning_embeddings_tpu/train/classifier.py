@@ -77,6 +77,7 @@ class ClassifierConfig:
     seed: int = 0
     dtype: Any = jnp.bfloat16
     tp_patterns: Sequence[str] = ("fc/kernel",)   # head sharded over 'model'
+    head_override: Optional[str] = None  # e.g. 'bottleneck2d' (--use_2d)
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -127,7 +128,7 @@ class ClassifierTrainer:
         self.model = HierarchicalCNN(
             backbone=cfg.backbone,
             levels=tuple(labelmap.levels),
-            head=CRITERION_TO_HEAD[cfg.criterion],
+            head=cfg.head_override or CRITERION_TO_HEAD[cfg.criterion],
             dtype=cfg.dtype,
         )
         self.criterion = make_criterion(labelmap, cfg)
