@@ -39,9 +39,9 @@ def build_parser(default_energy: str):
     parser.add_argument("--model", type=str, default="alexnet")
     parser.add_argument("--loss", type=str, default=default_energy)
     parser.add_argument("--use_CNN", action="store_true",
-                        help="Train the image CNN end-to-end instead of "
-                             "frozen fc7 features (not yet wired; the fc7 "
-                             "path is the reference default).")
+                        help="Train the image CNN end-to-end on pixels "
+                             "instead of frozen fc7 features (FeatCNN).")
+    parser.add_argument("--image_size", type=int, default=448)
     parser.add_argument("--pick_per_level", action="store_true")
     parser.add_argument("--freeze_weights", action="store_true")
     parser.add_argument("--half_half", action="store_true")
@@ -75,6 +75,9 @@ def joint_main(args, default_energy: str):
     labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
     graph, train_edges = build_joint_graph(
         labelmap, datasets["train"].level_labels)
+
+    if args.use_CNN:
+        return _joint_cnn_main(args, labelmap, datasets, graph, train_edges)
 
     features_dir = args.features_dir or os.path.join(args.data_dir,
                                                      "embeddings")
@@ -117,3 +120,56 @@ def joint_main(args, default_energy: str):
            if isinstance(v, (int, float, str))})
     print("test:", result["test_metrics"])
     return result
+
+
+def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
+    """--use_CNN: end-to-end image tower on pixels (train/joint_cnn.py)."""
+    import numpy as np
+
+    from ..data.pipeline import augment_eval, decode_image
+    from ..train.experiment import ExperimentDir, MetricsLogger, write_manifest
+    from ..train.joint_cnn import JointCNNConfig, JointCNNTrainer
+    from .common import manifest_from_args
+
+    ds = datasets["train"]
+    size = args.image_size
+
+    def pixel_loader(rows):
+        try:
+            from ..data import native_loader
+
+            if native_loader.available() and ds.image_paths[0].lower(
+                    ).endswith((".jpg", ".jpeg")):
+                paths = [os.path.join(args.image_dir, ds.image_paths[r])
+                         for r in rows]
+                batch, status = native_loader.load_augment_batch(
+                    paths, size, train=True, seed=int(rows[0]))
+                if (status == 0).all():
+                    return batch
+        except Exception:
+            pass
+        return np.stack([
+            augment_eval(decode_image(
+                os.path.join(args.image_dir, ds.image_paths[r])), size)
+            for r in rows]).astype(np.float32) / 255.0
+
+    cfg = JointCNNConfig(
+        energy=LOSS_MAP[args.loss], backbone=args.model
+        if args.model != "alexnet" else "resnet18",
+        embedding_dim=args.embedding_dim, image_size=size,
+        lr_labels=args.lr, lr_images=args.lr_images,
+        batch_size=args.batch_size, neg_to_pos_ratio=args.neg_to_pos_ratio,
+        alpha=args.alpha,
+        optimizer_labels="rsgd" if args.use_rsgd else "adam",
+        pick_per_level=args.pick_per_level, seed=args.random_seed)
+    trainer = JointCNNTrainer(labelmap, graph, train_edges, pixel_loader, cfg)
+    exp = ExperimentDir(args.experiment_dir, args.experiment_name)
+    write_manifest(exp, manifest_from_args(args))
+    logger = MetricsLogger(exp)
+    rng = np.random.RandomState(args.random_seed)
+    for epoch in range(args.n_epochs):
+        stats = trainer.train_epoch(epoch, rng)
+        logger.scalars("train", stats, epoch)
+        print(f"epoch {epoch}: {stats}")
+    logger.close()
+    return {"trainer": trainer, "experiment": exp}

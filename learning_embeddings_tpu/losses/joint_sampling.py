@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["JointGraph", "build_joint_graph", "make_joint_negative_sampler"]
+__all__ = ["JointGraph", "build_joint_graph", "make_joint_negative_sampler",
+           "sample_joint_negatives_np"]
 
 
 class JointGraph(NamedTuple):
@@ -239,3 +240,94 @@ def make_joint_negative_sampler(
         return nf.reshape(-1), nt.reshape(-1)
 
     return sample
+
+
+def sample_joint_negatives_np(
+    graph: JointGraph,
+    neg_to_pos_ratio: int,
+    rng: np.random.RandomState,
+    pos_from: np.ndarray,
+    pos_to: np.ndarray,
+    *,
+    pick_per_level: bool = True,
+    levels_to_hide=(),
+):
+    """Host-side mirror of make_joint_negative_sampler (same candidate
+    sets, numpy RNG) — used by the end-to-end CNN joint trainer, whose
+    image pixels must be gathered on host before the jitted step, and as
+    an oracle for testing the device sampler."""
+    nl, ni, L = graph.n_labels, graph.n_images, graph.n_levels
+    R = int(neg_to_pos_ratio)
+    B = len(pos_from)
+    closure = graph.label_closure
+    img_paths = graph.image_paths_global
+    starts, stops = graph.level_start, graph.level_stop
+
+    visible = [l for l in range(L + 1) if l not in set(levels_to_hide)]
+
+    def label_cands_to(u):
+        if u >= nl:
+            return np.ones(nl, bool)
+        m = ~closure[u].copy()
+        m[u] = False
+        return m
+
+    def label_cands_from(v):
+        if v >= nl:
+            m = np.ones(nl, bool)
+            m[img_paths[v - nl]] = False
+            return m
+        m = ~closure[:, v].copy()
+        m[v] = False
+        return m
+
+    def image_cands_to(u):
+        lvl = int(np.searchsorted(stops, u, side="right"))
+        return img_paths[:, lvl] != u
+
+    def choice(mask, offset=0):
+        cand = np.nonzero(mask)[0]
+        if len(cand) == 0:
+            cand = np.arange(len(mask))
+        return offset + int(cand[rng.randint(len(cand))])
+
+    neg_from = np.empty(2 * R * B, np.int32)
+    neg_to = np.empty(2 * R * B, np.int32)
+    for i in range(B):
+        u, v = int(pos_from[i]), int(pos_to[i])
+        has_img = u >= nl or v >= nl
+        for r in range(R):
+            lvl = visible[r % len(visible)] if pick_per_level else None
+            # corrupt 'to' given u
+            if lvl is None:
+                lm = label_cands_to(u)
+                im = (image_cands_to(u) if u < nl
+                      else ~np.eye(1, ni, u - nl, dtype=bool)[0])
+                full = np.concatenate([lm, im])
+                c = choice(full)
+            elif lvl < L:
+                m = label_cands_to(u) & (np.arange(nl) >= starts[lvl]) \
+                    & (np.arange(nl) < stops[lvl])
+                c = choice(m)
+            else:
+                c = (choice(label_cands_to(u)) if has_img
+                     else choice(image_cands_to(u), offset=nl))
+            neg_from[2 * R * i + r] = u
+            neg_to[2 * R * i + r] = c
+            # corrupt 'from' given v
+            if lvl is None:
+                lm = label_cands_from(v)
+                im = np.ones(ni, bool)
+                if v >= nl:
+                    im[v - nl] = False
+                c = choice(np.concatenate([lm, im]))
+            elif lvl < L:
+                m = label_cands_from(v) & (np.arange(nl) >= starts[lvl]) \
+                    & (np.arange(nl) < stops[lvl])
+                c = choice(m)
+            else:
+                c = (choice(label_cands_from(v)) if has_img
+                     else nl + rng.randint(ni))
+            neg_from[2 * R * i + r + R] = c
+            neg_to[2 * R * i + r + R] = v
+    return neg_from, neg_to

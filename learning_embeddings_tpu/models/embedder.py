@@ -103,3 +103,26 @@ class FeatNet(nn.Module):
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim, name="fc1")(feats)
         return geometry_map(x, self.mode, self.K)
+
+
+class FeatCNN(nn.Module):
+    """End-to-end image tower: CNN trunk → dim projection → geometry map
+    (the reference's FeatCNN18 / FeatCNN used with --use_CNN,
+    oe_h.py:213-378)."""
+
+    backbone: str
+    dim: int
+    mode: str = "euclidean"
+    K: Optional[float] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from .resnet import BACKBONES
+
+        trunk = BACKBONES[self.backbone](
+            num_classes=None, features_only=True, dtype=self.dtype,
+            name="trunk")
+        feats = trunk(images, train=train)
+        x = nn.Dense(self.dim, name="fc")(feats)
+        return geometry_map(x, self.mode, self.K)

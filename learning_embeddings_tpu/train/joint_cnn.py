@@ -1,0 +1,202 @@
+"""End-to-end CNN joint trainer — the `--use_CNN` path of the reference's
+JointEmbeddings (oe_h.py:1394-1409 FeatCNN18, calculate_from_and_to_emb's
+pixel branch oe_h.py:970-1010): image embeddings come from a CNN tower on
+raw pixels, trained jointly with the label table.
+
+Host/device split (the TPU version of the reference's on-demand
+`dataloader.get_image` fetches):
+
+1. negatives sampled on host (numpy mirror of the structured sampler) so
+   the sampled image nodes' pixels can be gathered before the step,
+2. the unique images of the batch are loaded once (native C++ loader when
+   available) and shipped as one (U, S, S, 3) tensor,
+3. the jitted step runs the CNN tower once over the unique images and
+   scatters embeddings into the edge slots via index arrays — static
+   shapes via a fixed per-batch image budget (slots beyond the budget fall
+   back to label-only edges, which the sampler layout makes rare).
+
+This is also the benchmark configuration of BASELINE.json's north star
+("ETHEC ResNet-50 + hyperbolic-cone joint training images/sec/chip").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses.joint_sampling import JointGraph, sample_joint_negatives_np
+from ..losses.margin import margin_loss
+from ..models.embedder import FeatCNN, LabelEmbedder
+from ..optim.rsgd import project_annulus_tree, riemannian_sgd, scale_by_conformal_factor
+from .joint import DEFAULT_K, JOINT_MODE
+
+
+@dataclasses.dataclass
+class JointCNNConfig:
+    energy: str = "hyp_cone"
+    backbone: str = "resnet50"
+    embedding_dim: int = 10
+    image_size: int = 448
+    lr_labels: float = 1e-2
+    lr_images: float = 1e-3
+    batch_size: int = 10
+    neg_to_pos_ratio: int = 5
+    alpha: float = 0.05
+    optimizer_labels: str = "adam"
+    pick_per_level: bool = True
+    levels_to_hide: Tuple[int, ...] = ()
+    seed: int = 0
+    K: Optional[float] = None
+
+
+class JointCNNTrainer:
+    def __init__(self, labelmap, graph: JointGraph, train_edges: np.ndarray,
+                 pixel_loader: Callable[[np.ndarray], np.ndarray],
+                 cfg: JointCNNConfig):
+        """pixel_loader(image_rows) -> (n, S, S, 3) float32 in [0,1]."""
+        self.labelmap = labelmap
+        self.graph = graph
+        self.cfg = cfg
+        self.K = cfg.K if cfg.K is not None else DEFAULT_K[cfg.energy]
+        mode = JOINT_MODE[cfg.energy]
+        self.train_edges = np.asarray(train_edges, np.int32)
+        self.pixel_loader = pixel_loader
+
+        self.embedder = LabelEmbedder(n_nodes=graph.n_labels,
+                                      dim=cfg.embedding_dim, mode=mode,
+                                      K=self.K)
+        self.featcnn = FeatCNN(backbone=cfg.backbone, dim=cfg.embedding_dim,
+                               mode=mode, K=self.K)
+        key = jax.random.PRNGKey(cfg.seed)
+        k1, k2 = jax.random.split(key)
+        img_vars = self.featcnn.init(
+            k2, jnp.zeros((1, cfg.image_size, cfg.image_size, 3)), train=False)
+        self.params = {
+            "labels": self.embedder.init(k1, jnp.zeros((1,), jnp.int32)),
+            "images": img_vars["params"],
+        }
+        self.batch_stats = img_vars.get("batch_stats", {})
+        self.tx = self._make_optimizer()
+        self.opt_state = self.tx.init(self.params)
+        self._energy_kw = {} if self.K is None else {"K": self.K}
+        self._step = self._build_step()
+        self._rng = np.random.RandomState(cfg.seed)
+
+    def _make_optimizer(self):
+        cfg = self.cfg
+        if cfg.optimizer_labels == "rsgd":
+            label_tx = riemannian_sgd(cfg.lr_labels, self.K)
+        elif cfg.energy == "hyp_cone":
+            label_tx = optax.chain(scale_by_conformal_factor(),
+                                   optax.adam(cfg.lr_labels))
+        else:
+            label_tx = optax.adam(cfg.lr_labels)
+        return optax.multi_transform(
+            {"labels": label_tx, "images": optax.adam(cfg.lr_images)},
+            {"labels": "labels", "images": "images"})
+
+    def _build_step(self):
+        cfg = self.cfg
+        tx = self.tx
+        energy_kw = self._energy_kw
+        nl = self.graph.n_labels
+        project_hyp = (cfg.energy == "hyp_cone"
+                       and cfg.optimizer_labels != "rsgd")
+        K = self.K
+
+        def emb(params, img_embs, ids, pix):
+            lab = self.embedder.apply(params["labels"],
+                                      jnp.minimum(ids, nl - 1))
+            img = img_embs[jnp.maximum(pix, 0)]
+            return jnp.where((pix >= 0)[:, None], img, lab)
+
+        def loss_fn(params, batch_stats, pixels,
+                    pf, pt, nf, nt, pix_pf, pix_pt, pix_nf, pix_nt):
+            img_embs, mutated = self.featcnn.apply(
+                {"params": params["images"], "batch_stats": batch_stats},
+                pixels, train=True, mutable=["batch_stats"])
+            loss, (e_pos, e_neg) = margin_loss(
+                emb(params, img_embs, pf, pix_pf),
+                emb(params, img_embs, pt, pix_pt),
+                emb(params, img_embs, nf, pix_nf),
+                emb(params, img_embs, nt, pix_nt),
+                energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
+            return loss, (mutated["batch_stats"], e_pos, e_neg)
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, pixels,
+                 pf, pt, nf, nt, pix_pf, pix_pt, pix_nf, pix_nt):
+            (loss, (new_stats, e_pos, e_neg)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, pixels,
+                                       pf, pt, nf, nt,
+                                       pix_pf, pix_pt, pix_nf, pix_nt)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if project_hyp:
+                params = dict(params,
+                              labels=project_annulus_tree(params["labels"], K))
+            return params, new_stats, opt_state, loss, e_pos, e_neg
+
+        return step
+
+    # ------------------------------------------------------------------
+    def train_batch(self, pos_from: np.ndarray, pos_to: np.ndarray):
+        """One step: host negative sampling + unique-pixel gather + jitted
+        update. Returns (loss, e_pos, e_neg)."""
+        g = self.graph
+        nl = g.n_labels
+        nf, nt = sample_joint_negatives_np(
+            g, self.cfg.neg_to_pos_ratio, self._rng, pos_from, pos_to,
+            pick_per_level=self.cfg.pick_per_level,
+            levels_to_hide=self.cfg.levels_to_hide)
+        all_ids = np.concatenate([pos_from, pos_to, nf, nt])
+        img_rows = np.unique(all_ids[all_ids >= nl]) - nl
+        if len(img_rows) == 0:
+            img_rows = np.zeros((1,), np.int64)   # static-friendly dummy
+        # pad the unique-image count to a bucket (multiple of batch_size) so
+        # the jitted step compiles once per bucket, not per batch
+        bucket = -(-len(img_rows) // self.cfg.batch_size) * self.cfg.batch_size
+        padded = np.resize(img_rows, bucket)
+        pixels = self.pixel_loader(padded)
+        row_to_slot = {int(r): s for s, r in enumerate(img_rows)}
+
+        def pix_idx(ids):
+            return np.asarray(
+                [row_to_slot.get(int(i) - nl, -1) if i >= nl else -1
+                 for i in ids], np.int32)
+
+        self.params, self.batch_stats, self.opt_state, loss, e_pos, e_neg = \
+            self._step(self.params, self.batch_stats, self.opt_state,
+                       jnp.asarray(pixels),
+                       jnp.asarray(pos_from), jnp.asarray(pos_to),
+                       jnp.asarray(nf), jnp.asarray(nt),
+                       jnp.asarray(pix_idx(pos_from)),
+                       jnp.asarray(pix_idx(pos_to)),
+                       jnp.asarray(pix_idx(nf)), jnp.asarray(pix_idx(nt)))
+        return float(loss), e_pos, e_neg
+
+    def train_epoch(self, epoch: int, rng: np.random.RandomState):
+        edges = self.train_edges[rng.permutation(len(self.train_edges))]
+        bs = self.cfg.batch_size
+        nb = max(len(edges) // bs, 1)
+        total = 0.0
+        for b in range(nb):
+            e = edges[b * bs:(b + 1) * bs]
+            loss, _, _ = self.train_batch(e[:, 0], e[:, 1])
+            total += loss
+        return {"loss": total}
+
+    def image_embeddings_from_pixels(self, pixels):
+        return self.featcnn.apply(
+            {"params": self.params["images"],
+             "batch_stats": self.batch_stats},
+            jnp.asarray(pixels), train=False)
+
+    def label_embeddings(self):
+        return self.embedder.apply(self.params["labels"],
+                                   jnp.arange(self.graph.n_labels))
