@@ -102,6 +102,10 @@ class ResNet(nn.Module):
     num_input_channels: int = 3
     dtype: Any = jnp.bfloat16
     features_only: bool = False
+    #: rematerialize each residual block in the backward pass — trades
+    #: recompute FLOPs for activation memory (jax.checkpoint); at 448² the
+    #: activation footprint otherwise spills HBM for large batches
+    remat: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -119,12 +123,14 @@ class ResNet(nn.Module):
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+        block_cls = (nn.remat(self.block, static_argnums=())
+                     if self.remat else self.block)
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = self.block(filters=64 * 2**i, strides=strides,
-                               dtype=self.dtype, norm=norm,
-                               name=f"layer{i+1}_{j}")(x)
+                x = block_cls(filters=64 * 2**i, strides=strides,
+                              dtype=self.dtype, norm=norm,
+                              name=f"layer{i+1}_{j}")(x)
         x = jnp.mean(x, axis=(1, 2))          # global average pool
         x = x.astype(jnp.float32)
         if self.features_only or self.num_classes is None:
@@ -160,6 +166,7 @@ class AlexNet(nn.Module):
     num_input_channels: int = 3
     dtype: Any = jnp.bfloat16
     features_only: bool = False
+    remat: bool = False   # accepted for API uniformity; unused
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -193,6 +200,7 @@ class VGG11BN(nn.Module):
     num_input_channels: int = 3
     dtype: Any = jnp.bfloat16
     features_only: bool = False
+    remat: bool = False   # accepted for API uniformity; unused
 
     CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
 

@@ -78,6 +78,7 @@ class ClassifierConfig:
     dtype: Any = jnp.bfloat16
     tp_patterns: Sequence[str] = ("fc/kernel",)   # head sharded over 'model'
     head_override: Optional[str] = None  # e.g. 'bottleneck2d' (--use_2d)
+    remat: bool = False  # rematerialize residual blocks (memory vs FLOPs)
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -130,6 +131,7 @@ class ClassifierTrainer:
             levels=tuple(labelmap.levels),
             head=cfg.head_override or CRITERION_TO_HEAD[cfg.criterion],
             dtype=cfg.dtype,
+            remat=cfg.remat,
         )
         self.criterion = make_criterion(labelmap, cfg)
         self.n_channels = 1 if grayscale else 3
