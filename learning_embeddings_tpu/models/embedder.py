@@ -105,6 +105,27 @@ class FeatNet(nn.Module):
         return geometry_map(x, self.mode, self.K)
 
 
+class MatrixApproximation(nn.Module):
+    """Low-parameter image projector W = pad(diag(d)) + u·vᵀ
+    (reference `MatrixApproximation`, oe.py:233-289): a diagonal map from
+    the first `dim` feature coordinates plus a rank-1 correction over the
+    full feature vector, with the same geometry post-map."""
+
+    dim: int
+    mode: str = "euclidean"
+    K: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
+        F = feats.shape[-1]
+        d = self.param("diag", nn.initializers.ones, (self.dim,))
+        u = self.param("u", nn.initializers.normal(0.01), (self.dim,))
+        v = self.param("v", nn.initializers.normal(0.01), (F,))
+        x = feats[..., : self.dim] * d + jnp.outer(feats @ v, u).reshape(
+            feats.shape[:-1] + (self.dim,))
+        return geometry_map(x, self.mode, self.K)
+
+
 class FeatCNN(nn.Module):
     """End-to-end image tower: CNN trunk → dim projection → geometry map
     (the reference's FeatCNN18 / FeatCNN used with --use_CNN,
