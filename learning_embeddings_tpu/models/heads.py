@@ -42,13 +42,14 @@ class HierarchicalCNN(nn.Module):
     dtype: Any = jnp.bfloat16
     bottleneck_dim: int = 2
     remat: bool = False
+    stem: str = "conv7"
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture_bottleneck: bool = False):
         n_classes = int(sum(self.levels))
         trunk = BACKBONES[self.backbone](
             num_classes=None, dtype=self.dtype, features_only=True,
-            remat=self.remat, name="trunk")
+            remat=self.remat, stem=self.stem, name="trunk")
         feats = trunk(x, train=train)                     # (B, F) f32
 
         if self.head == "multi_head":

@@ -106,6 +106,12 @@ class ResNet(nn.Module):
     #: recompute FLOPs for activation memory (jax.checkpoint); at 448² the
     #: activation footprint otherwise spills HBM for large batches
     remat: bool = False
+    #: 'conv7' = torch-layout 7×7/s2 stem; 's2d' = space-to-depth(2) +
+    #: 4×4/s1 conv — mathematically EQUIVALENT reparametrization (the
+    #: MLPerf TPU ResNet trick: 12 input channels at half resolution map
+    #: far better onto the MXU than 3 channels at full resolution).
+    #: Imported 7×7 torchvision weights convert via s2d_stem_kernel().
+    stem: str = "conv7"
 
     @property
     def feature_dim(self) -> int:
@@ -118,8 +124,18 @@ class ResNet(nn.Module):
             nn.BatchNorm, use_running_average=not train, momentum=0.9,
             epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.stem == "s2d":
+            # space-to-depth(2): (B, H, W, C) -> (B, H/2, W/2, 4C), then a
+            # 4×4 stride-1 conv with asymmetric (2, 1) padding — the exact
+            # reparametrization of conv 7×7/s2/p3 (see s2d_stem_kernel)
+            B, H, W, C = x.shape
+            x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+            x = nn.Conv(64, (4, 4), (1, 1), padding=[(2, 1), (2, 1)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
@@ -136,6 +152,30 @@ class ResNet(nn.Module):
         if self.features_only or self.num_classes is None:
             return x
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+
+
+def s2d_stem_kernel(w7):
+    """Convert a 7×7/s2 stem kernel (7, 7, C, O) to the equivalent
+    space-to-depth 4×4/s1 kernel (4, 4, 4C, O).
+
+    With z[p,q,(u,v,c)] = x[2p+u, 2q+v, c] (u, v ∈ {0,1}) and input offset
+    di − 3 = 2a + u, the original tap w[di, dj, c, o] lands at
+    ŵ[a+2, b+2, (u·2+v)·C + c, o]; taps with di or dj outside [0, 7) are
+    zero."""
+    import numpy as np
+
+    w7 = np.asarray(w7)
+    C, O = w7.shape[2], w7.shape[3]
+    out = np.zeros((4, 4, 4 * C, O), w7.dtype)
+    for a in range(-2, 2):
+        for b in range(-2, 2):
+            for u in range(2):
+                for v in range(2):
+                    di, dj = 2 * a + u + 3, 2 * b + v + 3
+                    if 0 <= di < 7 and 0 <= dj < 7:
+                        out[a + 2, b + 2,
+                            (u * 2 + v) * C:(u * 2 + v + 1) * C] = w7[di, dj]
+    return out
 
 
 def resnet18(**kw):
@@ -167,6 +207,7 @@ class AlexNet(nn.Module):
     dtype: Any = jnp.bfloat16
     features_only: bool = False
     remat: bool = False   # accepted for API uniformity; unused
+    stem: str = "conv7"   # accepted for API uniformity; unused
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -201,6 +242,7 @@ class VGG11BN(nn.Module):
     dtype: Any = jnp.bfloat16
     features_only: bool = False
     remat: bool = False   # accepted for API uniformity; unused
+    stem: str = "conv7"   # accepted for API uniformity; unused
 
     CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
 

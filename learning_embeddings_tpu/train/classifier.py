@@ -79,6 +79,7 @@ class ClassifierConfig:
     tp_patterns: Sequence[str] = ("fc/kernel",)   # head sharded over 'model'
     head_override: Optional[str] = None  # e.g. 'bottleneck2d' (--use_2d)
     remat: bool = False  # rematerialize residual blocks (memory vs FLOPs)
+    stem: str = "conv7"  # 's2d' = space-to-depth stem (MXU-efficient, equivalent)
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -132,6 +133,7 @@ class ClassifierTrainer:
             head=cfg.head_override or CRITERION_TO_HEAD[cfg.criterion],
             dtype=cfg.dtype,
             remat=cfg.remat,
+            stem=cfg.stem,
         )
         self.criterion = make_criterion(labelmap, cfg)
         self.n_channels = 1 if grayscale else 3
