@@ -159,6 +159,17 @@ def run_classifier(
         logger.scalars(tag, flat, epoch)
         logger.scalar(f"{tag}/loss", loss / max(len(datasets[split]), 1), epoch)
         _write_level_report(exp, tag, epoch, flat)
+        if cfg.head_override == "bottleneck2d":
+            # per-eval 2-d label-vector plot (the ETHEC2D behavior,
+            # ethec_experiments.py:155-200)
+            from ..viz.contours import plot_label_vectors
+
+            weights = [np.asarray(
+                trainer.state.params[f"level_fc{l}"]["kernel"])
+                for l in range(labelmap.n_levels)]
+            plot_label_vectors(
+                weights, labelmap,
+                os.path.join(exp.stats, f"label_reps_{tag}{epoch}.png"))
         return scores, ll, score, flat
 
     if set_mode == "train":

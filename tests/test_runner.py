@@ -1,0 +1,108 @@
+"""Runner-level tests: checkpoint/resume round trip, manifests, score dumps,
+2-d bottleneck plots."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from learning_embeddings_tpu.data.workloads import (
+    ArrayDataset,
+    synthetic_array_dataset,
+)
+from learning_embeddings_tpu.hierarchy import (
+    label_graph_from_paths,
+    split_edges,
+    toy_labelmap,
+)
+from learning_embeddings_tpu.train.classifier import ClassifierConfig
+from learning_embeddings_tpu.train.embedding import EmbeddingTrainerConfig
+from learning_embeddings_tpu.train.experiment import (
+    Checkpointer,
+    ExperimentDir,
+    read_manifest,
+    write_manifest,
+)
+from learning_embeddings_tpu.train.runner import (
+    run_classifier,
+    run_label_embedding,
+)
+
+
+@pytest.fixture()
+def class_setup():
+    lm = toy_labelmap(branching=2, n_levels=2)
+    ds = synthetic_array_dataset(lm, 60, size=24, seed=0)
+    datasets = {
+        "train": ArrayDataset(ds.images[:40], ds.leaf_labels[:40], lm),
+        "val": ArrayDataset(ds.images[40:50], ds.leaf_labels[40:50], lm),
+        "test": ArrayDataset(ds.images[50:], ds.leaf_labels[50:], lm),
+    }
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=24, batch_size=10, seed=0)
+    return lm, datasets, cfg
+
+
+def test_classifier_runner_artifacts_and_resume(class_setup, tmp_path):
+    lm, datasets, cfg = class_setup
+    kw = dict(experiment_dir=str(tmp_path), experiment_name="run",
+              n_epochs=2, eval_interval=1, n_workers=2,
+              manifest_args={"loss": "multi_level", "model": "resnet18"},
+              augment="rrc", use_weighted_resampler=False)
+    res = run_classifier(lm, datasets, "", cfg, **kw)
+    exp = res["experiment"]
+    assert os.path.exists(exp.manifest_path)
+    assert read_manifest(exp.manifest_path)["loss"] == "multi_level"
+    assert os.path.exists(os.path.join(exp.stats, "predicted_scores.npy"))
+    assert os.path.exists(os.path.join(exp.stats, "correct_labels.npy"))
+    ck = Checkpointer(exp)
+    assert ck.find_existing_weights() == 1
+    assert "best_model" in os.listdir(exp.weights)
+    # resume continues from epoch 2
+    res2 = run_classifier(lm, datasets, "", cfg, **{**kw, "n_epochs": 3,
+                                                    "resume": True})
+    assert Checkpointer(res2["experiment"]).find_existing_weights() == 2
+    # metrics jsonl exists with train/loss entries
+    lines = [json.loads(l) for l in open(
+        os.path.join(exp.logs, "metrics.jsonl"))]
+    assert any(r["tag"] == "train/loss" for r in lines)
+
+
+def test_embedding_runner_resume_and_threshold_payload(tmp_path):
+    lm = toy_labelmap(branching=3, n_levels=3)
+    A = label_graph_from_paths(lm.leaf_paths(), lm)
+    splits = split_edges(A, proportion_of_nb_edges_in_train=0.5,
+                         val_frac=0.15, test_frac=0.15, seed=0)
+    cfg = EmbeddingTrainerConfig(energy="order", embedding_dim=4, lr=0.01,
+                                 batch_size=10, neg_to_pos_ratio=3,
+                                 alpha=1.0, optimizer="adam", seed=0)
+    kw = dict(experiment_dir=str(tmp_path), experiment_name="emb",
+              n_epochs=3, eval_interval=1, check_reconstr_every=2)
+    res = run_label_embedding(lm, splits, cfg, **kw)
+    assert res["best_val_f1"] > 0
+    assert "test_f1" in res
+    res2 = run_label_embedding(lm, splits, cfg,
+                               **{**kw, "n_epochs": 5, "resume": True})
+    exp = res2["experiment"]
+    ck = Checkpointer(exp)
+    assert ck.find_existing_weights() == 4
+    # optimal_threshold persisted in the checkpoint payload
+    like = {"params": res2["trainer"].params,
+            "opt_state": res2["trainer"].opt_state,
+            "optimal_threshold": 0.0}
+    payload = ck.load(4, like)
+    assert payload["optimal_threshold"] > 0.0
+
+
+def test_bottleneck2d_runner_plots(class_setup, tmp_path):
+    lm, datasets, cfg = class_setup
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, head_override="bottleneck2d")
+    res = run_classifier(lm, datasets, "", cfg,
+                         experiment_dir=str(tmp_path),
+                         experiment_name="b2d", n_epochs=1, n_workers=2,
+                         augment="rrc", use_weighted_resampler=False)
+    stats = res["experiment"].stats
+    assert any(f.startswith("label_reps_") for f in os.listdir(stats))
