@@ -137,3 +137,72 @@ def multilabel_metrics(
         a, b = int(labelmap.level_start[l]), int(labelmap.level_stop[l])
         out[name] = subset(np.arange(a, b))
     return out
+
+
+def render_pr_curves(scores: np.ndarray, multihot: np.ndarray, class_names,
+                     out_dir: str, max_classes: int = 32):
+    """Precision/recall/F1-vs-threshold plots per class (the reference's
+    plot_prec_recall_vs_thresh, evaluation.py:119-126), capped to the
+    `max_classes` highest-support classes at ETHEC scale."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    support = multihot.sum(axis=0)
+    order = np.argsort(-support)[:max_classes]
+    curves, mAP = per_class_pr(scores, multihot)
+    written = []
+    for c in order:
+        p, r, t, ap = curves[int(c)]
+        if len(t) == 0:
+            continue
+        f1 = _f1(p, r)
+        fig, ax = plt.subplots()
+        ax.plot(t, p[:-1], "b:", label="precision")
+        ax.plot(t, r[:-1], "r:", label="recall")
+        ax.plot(t, f1[:-1], "g:", label="f1-score")
+        ax.set_xlabel("threshold")
+        ax.set_ylim([0, 1])
+        ax.legend(loc="upper left")
+        name = str(class_names[int(c)])
+        ax.set_title(f"P/R vs threshold — {name} (AP {ap:.3f})")
+        path = os.path.join(out_dir, f"prec_recall_{name}.png")
+        fig.savefig(path, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+        written.append(path)
+    return written, mAP
+
+
+def render_score_vs_freq(per_class_score: np.ndarray, train_freq: np.ndarray,
+                         out_path: str, title: str = "F1 vs train frequency"):
+    """Score-vs-train-frequency scatter with marginal histograms
+    (reference make_score_vs_freq_hist, evaluation.py:289-340)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(train_freq, float)
+    y = np.asarray(per_class_score, float)
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_axes([0.1, 0.1, 0.65, 0.65])
+    axx = fig.add_axes([0.1, 0.77, 0.65, 0.18], sharex=ax)
+    axy = fig.add_axes([0.77, 0.1, 0.18, 0.65], sharey=ax)
+    ax.scatter(x, y, s=10, alpha=0.6)
+    axx.hist(x, bins=30)
+    axy.hist(y, bins=30, orientation="horizontal")
+    axx.tick_params(labelbottom=False)
+    axy.tick_params(labelleft=False)
+    ax.set_xlabel("train frequency")
+    ax.set_ylabel("score")
+    axx.set_title(title)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight", dpi=110)
+    plt.close(fig)
+    return out_path
