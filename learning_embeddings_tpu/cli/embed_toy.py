@@ -67,6 +67,8 @@ def main(args=None):
         optimizer=args.optimizer_method,
         pick_per_level=args.pick_per_level,
         seed=args.random_seed,
+        lr_steps=tuple(args.lr_step),
+        lr_decay=getattr(args, "lr_decay", 0.1),
     )
     result = run_label_embedding(
         lm, splits, cfg,

@@ -51,6 +51,8 @@ def main(args=None):
         optimizer="rsgd" if args.use_rsgd else args.optimizer_method,
         pick_per_level=args.pick_per_level,
         seed=args.random_seed,
+        lr_steps=tuple(args.lr_step),
+        lr_decay=getattr(args, "lr_decay", 0.1),
     )
     warm_start = None
     if args.load_cosine_emb:

@@ -67,6 +67,9 @@ class EmbeddingTrainerConfig:
     level_weights: Optional[Tuple[float, ...]] = None
     seed: int = 0
     K: Optional[float] = None        # default per energy
+    lr_steps: Tuple[int, ...] = ()   # epochs where lr ×= lr_decay
+    lr_decay: float = 0.1
+    steps_per_epoch: int = 0         # set by the trainer for the schedule
 
 
 class EmbeddingTrainer:
@@ -104,11 +107,19 @@ class EmbeddingTrainer:
     # ------------------------------------------------------------------
     def _make_optimizer(self):
         cfg = self.cfg
+        lr = cfg.lr
+        if cfg.lr_steps:
+            # MultiStepLR (reference lr_step/lr_decay,
+            # order_embeddings.py:595-600); boundaries in optimizer steps
+            spe = max(cfg.steps_per_epoch,
+                      max(len(self.splits.train) // cfg.batch_size, 1))
+            lr = optax.piecewise_constant_schedule(
+                cfg.lr, {int(e) * spe: cfg.lr_decay for e in cfg.lr_steps})
         if cfg.optimizer == "rsgd":
             assert self.cfg.energy == "hyp_cone", "rsgd is for the ball"
             return riemannian_sgd(cfg.lr, self.K)
-        base = optax.adam(cfg.lr) if cfg.optimizer == "adam" else optax.sgd(
-            cfg.lr, momentum=0.9)
+        base = optax.adam(lr) if cfg.optimizer == "adam" else optax.sgd(
+            lr, momentum=0.9)
         if self.cfg.energy == "hyp_cone":
             # hybrid path: riemannian rescale → adam → (annulus projection
             # applied after the update in the step fn)
