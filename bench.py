@@ -71,7 +71,65 @@ def main(batch_size: int = 128, steps: int = 20, warmup: int = 3):
     }))
 
 
+def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
+               image_size: int = 448):
+    """North-star workload (BASELINE.json): ResNet-50 + hyperbolic-cone
+    JOINT training (--use_CNN) — images/sec counts unique images through
+    the CNN tower per step."""
+    import jax
+    import numpy as np
+    from __graft_entry__ import _ethec_labelmap
+    from learning_embeddings_tpu.losses.joint_sampling import build_joint_graph
+    from learning_embeddings_tpu.train.joint_cnn import (
+        JointCNNConfig, JointCNNTrainer)
+
+    labelmap = _ethec_labelmap()
+    rng = np.random.RandomState(0)
+    n_img = 2048
+    leaves = rng.randint(0, labelmap.levels[-1], n_img)
+    ll = labelmap.leaf_paths()[leaves]
+    graph, train_edges = build_joint_graph(labelmap, ll)
+    # only (label -> image) edges in the bench batches: every step drives
+    # the CNN tower with a full batch of pixels
+    img_edges = train_edges[train_edges[:, 1] >= labelmap.n_classes]
+    pixel_bank = rng.rand(64, image_size, image_size, 3).astype(np.float32)
+
+    def pixel_loader(rows):
+        return pixel_bank[np.asarray(rows) % len(pixel_bank)]
+
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet50",
+                         embedding_dim=10, image_size=image_size,
+                         batch_size=batch_size, neg_to_pos_ratio=5,
+                         alpha=0.05, pick_per_level=True, seed=0)
+    trainer = JointCNNTrainer(labelmap, graph, img_edges[:10000],
+                              pixel_loader, cfg)
+    edges = img_edges[rng.permutation(len(img_edges))]
+
+    def batch(i):
+        e = edges[(i * batch_size) % (len(edges) - batch_size):][:batch_size]
+        return e[:, 0], e[:, 1]
+
+    n_imgs = 0
+    for i in range(warmup):
+        trainer.train_batch(*batch(i))
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + steps):
+        pf, pt = batch(i)
+        loss, e_pos, e_neg = trainer.train_batch(pf, pt)
+        n_imgs += len(np.unique(pt))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "ETHEC ResNet-50 hyperbolic-cone joint train throughput",
+        "value": round(n_imgs / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(n_imgs / dt / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
 if __name__ == "__main__":
     import sys
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    main(batch_size=bs)
+    if len(sys.argv) > 1 and sys.argv[1] == "joint":
+        main_joint(batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    else:
+        bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+        main(batch_size=bs)
