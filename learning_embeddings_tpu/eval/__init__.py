@@ -11,6 +11,15 @@ from .metrics import (
     level_metrics_from_confusion,
     multilevel_metrics,
 )
+from .multilabel import (
+    multilabel_metrics,
+    per_class_pr,
+    tune_per_class_thresholds,
+    tune_single_threshold,
+)
+from .ranking import joint_classification_metrics
+from .reports import Summarize
+from .confusion import cross_level_confusion
 
 __all__ = [
     "ThresholdMetrics",
@@ -22,4 +31,11 @@ __all__ = [
     "hierarchical_match_counts",
     "level_metrics_from_confusion",
     "multilevel_metrics",
+    "multilabel_metrics",
+    "per_class_pr",
+    "tune_per_class_thresholds",
+    "tune_single_threshold",
+    "joint_classification_metrics",
+    "Summarize",
+    "cross_level_confusion",
 ]

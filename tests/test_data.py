@@ -147,3 +147,34 @@ def test_weighted_resampler_balances_classes():
     rs2 = WeightedResampler(leaf, n_leaf=2, weight_strategy="inv_sqrt")
     frac1s = (leaf[rs2.order(np.random.RandomState(0), 20000)] == 1).mean()
     assert 0.2 < frac1s < 0.3  # sqrt weighting: 1/sqrt(9) ratio ≈ 0.25
+
+
+def test_butterfly200_style_records(tmp_path):
+    """Butterfly200 uses the same record schema and level names as ETHEC
+    (db.py:17-1115) — the generic loader must handle its shape (5 families,
+    deeper fan-out) end to end through load_ethec_data."""
+    import json
+    from learning_embeddings_tpu.cli.common import load_ethec_data
+
+    rng = np.random.RandomState(0)
+    fams = [f"Fam{i}" for i in range(5)]
+    recs = {}
+    for t in range(300):
+        f = fams[t % 5]
+        sub = f"{f}_sub{t % 3}"          # nested: genus belongs to one
+        genus = f"{sub}_g{(t // 15) % 2}"  # subfamily (tree property)
+        recs[f"tok{t}"] = {
+            "token": f"tok{t}", "image_path": "imgs",
+            "image_name": f"b{t}.jpg", "family": f,
+            "subfamily": sub, "genus": genus,
+            "specific_epithet": f"sp{t % 4}",
+        }
+    items = list(recs.items())
+    for split, sl in [("train", slice(0, 200)), ("val", slice(200, 250)),
+                      ("test", slice(250, 300))]:
+        with open(tmp_path / f"{split}.json", "w") as fh:
+            json.dump(dict(items[sl]), fh)
+    lm, datasets, _ = load_ethec_data(str(tmp_path))
+    assert lm.n_levels == 4 and lm.levels[0] == 5
+    assert sum(len(d) for d in datasets.values()) == 300
+    assert (datasets["train"].level_labels < np.asarray(lm.levels)).all()
