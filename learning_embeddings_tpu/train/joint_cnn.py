@@ -145,9 +145,11 @@ class JointCNNTrainer:
         return step
 
     # ------------------------------------------------------------------
-    def train_batch(self, pos_from: np.ndarray, pos_to: np.ndarray):
-        """One step: host negative sampling + unique-pixel gather + jitted
-        update. Returns (loss, e_pos, e_neg)."""
+    def prepare_batch(self, pos_from: np.ndarray, pos_to: np.ndarray):
+        """Host side of one step: negative sampling, unique-pixel gather,
+        slot indexing. Returns the argument tuple for `train_prepared` —
+        separated so input preparation can be pipelined/prefetched away
+        from the device step (and benchmarked separately)."""
         g = self.graph
         nl = g.n_labels
         nf, nt = sample_joint_negatives_np(
@@ -170,14 +172,24 @@ class JointCNNTrainer:
                 [row_to_slot.get(int(i) - nl, -1) if i >= nl else -1
                  for i in ids], np.int32)
 
+        return (jnp.asarray(pixels),
+                jnp.asarray(pos_from), jnp.asarray(pos_to),
+                jnp.asarray(nf), jnp.asarray(nt),
+                jnp.asarray(pix_idx(pos_from)), jnp.asarray(pix_idx(pos_to)),
+                jnp.asarray(pix_idx(nf)), jnp.asarray(pix_idx(nt)))
+
+    def train_prepared(self, prepared):
+        """Device side of one step. Returns (loss_array, e_pos, e_neg) —
+        loss stays on device so callers control synchronization."""
         self.params, self.batch_stats, self.opt_state, loss, e_pos, e_neg = \
             self._step(self.params, self.batch_stats, self.opt_state,
-                       jnp.asarray(pixels),
-                       jnp.asarray(pos_from), jnp.asarray(pos_to),
-                       jnp.asarray(nf), jnp.asarray(nt),
-                       jnp.asarray(pix_idx(pos_from)),
-                       jnp.asarray(pix_idx(pos_to)),
-                       jnp.asarray(pix_idx(nf)), jnp.asarray(pix_idx(nt)))
+                       *prepared)
+        return loss, e_pos, e_neg
+
+    def train_batch(self, pos_from: np.ndarray, pos_to: np.ndarray):
+        """One step: host prep + jitted update. Returns (loss, e_pos, e_neg)."""
+        loss, e_pos, e_neg = self.train_prepared(
+            self.prepare_batch(pos_from, pos_to))
         return float(loss), e_pos, e_neg
 
     def train_epoch(self, epoch: int, rng: np.random.RandomState):
