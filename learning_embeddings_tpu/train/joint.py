@@ -73,13 +73,16 @@ class JointTrainerConfig:
 class JointEmbeddingTrainer:
     def __init__(self, labelmap, graph: JointGraph,
                  train_edges: np.ndarray, features: np.ndarray,
-                 cfg: JointTrainerConfig):
+                 cfg: JointTrainerConfig, mesh=None):
         """train_edges: (E, 2) node-id pairs (label→label and label→image)
         of the train skeleton (basic edges, like the reference's
         G_train_skeleton_full). features: (n_images, feature_dim) fc7."""
         self.labelmap = labelmap
         self.graph = graph
         self.cfg = cfg
+        self.mesh = mesh   # optional ('data','model') mesh: edge batches
+        #                    shard over 'data'; params/features replicate
+        #                    (GSPMD inserts the gradient all-reduce)
         self.K = cfg.K if cfg.K is not None else DEFAULT_K[cfg.energy]
         mode = JOINT_MODE[cfg.energy]
         self.train_edges = np.asarray(train_edges, np.int32)
@@ -185,13 +188,24 @@ class JointEmbeddingTrainer:
                               labels=project_annulus_tree(params["labels"], K))
             return (params, opt_state, key), (loss, e_pos, e_neg)
 
-        @jax.jit
         def epoch(params, opt_state, key, pf, pt):
             (params, opt_state, key), (losses, e_pos, e_neg) = jax.lax.scan(
                 step, (params, opt_state, key), (pf, pt))
             return params, opt_state, losses, e_pos, e_neg
 
-        return epoch
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            bsh = NamedSharding(self.mesh, P(None, "data"))  # (nb, bs)
+            return jax.jit(
+                epoch,
+                in_shardings=(jax.tree_util.tree_map(lambda _: rep, self.params),
+                              jax.tree_util.tree_map(
+                                  lambda _: rep, self.opt_state,
+                                  is_leaf=lambda x: hasattr(x, "shape")),
+                              rep, bsh, bsh))
+        return jax.jit(epoch)
 
     # ------------------------------------------------------------------
     def _epoch_order(self, edges: np.ndarray, rng: np.random.RandomState):
