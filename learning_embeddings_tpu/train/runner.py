@@ -66,7 +66,8 @@ def _classifier_metrics(evaluator: str, scores, level_labels, multihot,
         m = multilabel_metrics(scores, multihot, th, labelmap)
         flat = {"micro_f1": m["global"]["micro"]["f1"],
                 "macro_f1": m["global"]["macro"]["f1"],
-                "accuracy": m["global"]["accuracy_score"]}
+                "accuracy": m["global"]["accuracy_score"],
+                "mAP": _mean_ap(scores, multihot)}
         for name in labelmap.level_names:
             flat[f"{name}/micro_f1"] = m[name]["micro"]["f1"]
             flat[f"{name}/macro_f1"] = m[name]["macro"]["f1"]
@@ -81,6 +82,13 @@ def _classifier_metrics(evaluator: str, scores, level_labels, multihot,
         flat[f"{name}/micro_f1"] = lv.f1_micro
         flat[f"{name}/macro_f1"] = lv.f1_macro
     return m, flat, flat["micro_f1"]
+
+
+def _mean_ap(scores, multihot):
+    from ..eval.multilabel import per_class_pr
+
+    _, mAP = per_class_pr(scores, multihot)
+    return mAP
 
 
 def _write_level_report(exp: ExperimentDir, phase: str, epoch: int,
