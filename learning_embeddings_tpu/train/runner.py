@@ -266,12 +266,23 @@ def run_label_embedding(
             trainer.optimal_threshold = float(payload["optimal_threshold"])
             start_epoch = latest + 1
 
+    viz_every = (5 if config.embedding_dim == 2 else 0)
     best_f1, best_epoch = -1.0, -1
     rng = np.random.RandomState(config.seed)
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         stats = trainer.train_epoch(rng)
         logger.scalars("train", stats, epoch)
+        if viz_every and epoch % viz_every == 0:
+            # per-epoch 2-d embedding frames (viz_toy create_images,
+            # viz_toy.py:120-170)
+            from ..viz.toy import plot_toy_embedding
+
+            plot_toy_embedding(
+                np.asarray(trainer.all_embeddings()), labelmap,
+                os.path.join(exp.stats, f"frames/epoch_{epoch:04d}.png"),
+                energy=config.energy, K=trainer.K,
+                title=f"epoch {epoch}")
         if epoch % eval_interval == 0 and len(splits.val):
             val = trainer.evaluate("val")
             logger.scalars("val", {"f1": float(val.f1),
@@ -370,6 +381,12 @@ def run_joint_embedding(
                           "opt_state": trainer.opt_state})
         logger.scalar("epoch_time", time.time() - t0, epoch)
 
+    # reload the best model before the final test pass (reference loads
+    # best_model_wts at the end of run_model, oe_h.py:1959-1965)
+    if best_epoch >= 0:
+        payload = ckpt.load("best_model", like)
+        trainer.params = payload["params"]
+        trainer.opt_state = payload["opt_state"]
     rec = trainer.reconstruction()
     logger.scalars("reconstruction", {"f1": float(rec.f1)}, n_epochs)
     mtest = split_metrics("test")

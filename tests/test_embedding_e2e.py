@@ -3,6 +3,7 @@ reference's de-facto integration test — embed_toy converging to perfect
 reconstruction)."""
 
 import numpy as np
+import os
 import pytest
 
 from learning_embeddings_tpu.hierarchy import (
@@ -117,3 +118,42 @@ def test_negative_sampler_only_samples_negatives():
     lvl = lm.level_of_global()
     for r in range(R):
         assert (lvl[nt2[:, r]] == r % lm.n_levels).all()
+
+
+def test_negative_sampler_uniformity():
+    """The device sampler must be uniform over each node's candidate set
+    (chi-square-style check), matching the reference's
+    random.choice(np.where(...)) distribution."""
+    import jax
+    import jax.numpy as jnp
+    from learning_embeddings_tpu.losses.margin import make_negative_sampler
+
+    lm, splits = toy_splits(branching=3, n_levels=2)   # 3 + 9 labels
+    sampler = make_negative_sampler(splits.negatives, 1)
+    # anchor on node 0 (a root: its negatives are the other roots + all
+    # non-descendant leaves)
+    pf = jnp.zeros((2000,), jnp.int32)
+    pt = jnp.full((2000,), 3, jnp.int32)    # its first child (global 3)
+    nf, nt = sampler.sample(jax.random.PRNGKey(0), pf, pt)
+    nt = np.asarray(nt).reshape(2000, 2)[:, 0]   # corrupted-to slots
+    cands = np.nonzero(splits.negatives[0])[0]
+    counts = np.bincount(nt, minlength=lm.n_classes)[cands]
+    assert counts.sum() == 2000
+    expected = 2000 / len(cands)
+    # every candidate drawn, none wildly off uniform (±50%)
+    assert (counts > 0.5 * expected).all() and (counts < 1.5 * expected).all()
+
+
+def test_embedding_runner_writes_2d_frames(tmp_path):
+    from learning_embeddings_tpu.train.runner import run_label_embedding
+
+    lm, splits = toy_splits()
+    cfg = EmbeddingTrainerConfig(energy="hyp_cone", embedding_dim=2,
+                                 lr=0.03, batch_size=10, neg_to_pos_ratio=3,
+                                 alpha=0.01, optimizer="adam",
+                                 pick_per_level=True, seed=0)
+    res = run_label_embedding(lm, splits, cfg, experiment_dir=str(tmp_path),
+                              experiment_name="viz", n_epochs=6,
+                              check_reconstr_every=0)
+    frames = os.listdir(os.path.join(res["experiment"].stats, "frames"))
+    assert "epoch_0000.png" in frames and "epoch_0005.png" in frames
