@@ -126,6 +126,9 @@ def run_occlusion(experiment_path: str, image_dir: str, split: str = "test",
              "batch_stats": trainer.state.batch_stats}, images, train=False)
         return raw
 
+    S = trainer.cfg.image_size
+    patch = min(patch, max(S // 4, 1))      # keep the grid non-empty for
+    stride = min(stride, patch)             # small debug image sizes
     out_dir = os.path.join(exp.stats, f"occlusion_{split}")
     summ = Summarize(out_dir)
     summ.make_heading(f"Occlusion explanations — {split}", 1)
@@ -134,7 +137,6 @@ def run_occlusion(experiment_path: str, image_dir: str, split: str = "test",
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    S = trainer.cfg.image_size
     for i, batch in enumerate(pipe.batches(np.arange(min(n_samples, len(ds))))):
         img = batch["image"]
         ll = batch["level_labels"][0]
