@@ -28,8 +28,9 @@ def build_parser(default_energy: str):
     add_common_flags(parser)
     parser.add_argument("--alpha", type=float, default=0.05)
     parser.add_argument("--load_G_from_disk", action="store_true",
-                        help="(compat no-op: graphs are rebuilt from the "
-                             "split jsons deterministically)")
+                        help="Load/save the combined graph cache "
+                             "(<data_dir>/joint_graph.npz — the gpickle/"
+                             "neg_adjacency.npy contract of the reference)")
     parser.add_argument("--load_emb_from", type=str, default=None,
                         help="Path to a pretrained label-embedding table")
     parser.add_argument("--load_cosine_emb", type=str, default=None)
@@ -73,8 +74,18 @@ def load_features(features_dir: str, split: str, dataset):
 def joint_main(args, default_energy: str):
     args = build_parser(default_energy).parse_args(args)
     labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
-    graph, train_edges = build_joint_graph(
-        labelmap, datasets["train"].level_labels)
+    cache = os.path.join(args.data_dir, "joint_graph.npz")
+    if args.load_G_from_disk and os.path.exists(cache):
+        from ..losses.joint_sampling import load_joint_graph
+
+        graph, train_edges = load_joint_graph(cache)
+    else:
+        graph, train_edges = build_joint_graph(
+            labelmap, datasets["train"].level_labels)
+        if args.load_G_from_disk:
+            from ..losses.joint_sampling import save_joint_graph
+
+            save_joint_graph(cache, graph, train_edges)
 
     if args.use_CNN:
         return _joint_cnn_main(args, labelmap, datasets, graph, train_edges)

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["JointGraph", "build_joint_graph", "make_joint_negative_sampler",
-           "sample_joint_negatives_np"]
+           "sample_joint_negatives_np", "save_joint_graph", "load_joint_graph"]
 
 
 class JointGraph(NamedTuple):
@@ -116,6 +116,29 @@ def build_joint_graph(labelmap, train_level_labels: np.ndarray):
         level_stop=np.asarray(labelmap.level_stop),
     )
     return graph, train_edges
+
+
+def save_joint_graph(path: str, graph: JointGraph,
+                     train_edges: np.ndarray) -> None:
+    """Persist the combined graph (replaces the reference's gpickle +
+    neg_adjacency.npy cache, oe.py:468-483 / load_combined_graphs)."""
+    np.savez_compressed(
+        path, label_closure=graph.label_closure,
+        image_paths_global=graph.image_paths_global,
+        level_start=graph.level_start, level_stop=graph.level_stop,
+        train_edges=train_edges)
+
+
+def load_joint_graph(path: str):
+    """(JointGraph, train_edges) from save_joint_graph output."""
+    blob = np.load(path)
+    graph = JointGraph(
+        label_closure=blob["label_closure"],
+        image_paths_global=blob["image_paths_global"],
+        level_start=blob["level_start"],
+        level_stop=blob["level_stop"],
+    )
+    return graph, blob["train_edges"]
 
 
 def make_joint_negative_sampler(

@@ -68,6 +68,12 @@ class JointTrainerConfig:
     half_half: bool = False             # resample 50/50 (l,l)/(l,img) edges
     seed: int = 0
     K: Optional[float] = None
+    #: 'margin'  — Σ E⁺ + Σ max(0, α − E⁻) (oe/oe_h joint losses)
+    #: 'vendrov' — caption-ranking max-margin of the v1 prototype
+    #:             (order_embeddings_images.py:533-542)
+    #: 'nll'     — softmax(−d²) NLL (SimpleEuclideanEmbLoss,
+    #:             order_embeddings.py:1108-1202; euclidean energies only)
+    loss_variant: str = "margin"
 
 
 class JointEmbeddingTrainer:
@@ -166,10 +172,22 @@ class JointEmbeddingTrainer:
         node_emb = self.node_embeddings
 
         def loss_fn(params, pos_from, pos_to, neg_from, neg_to):
-            loss, (e_pos, e_neg) = margin_loss(
-                node_emb(params, pos_from), node_emb(params, pos_to),
-                node_emb(params, neg_from), node_emb(params, neg_to),
-                energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
+            embs = (node_emb(params, pos_from), node_emb(params, pos_to),
+                    node_emb(params, neg_from), node_emb(params, neg_to))
+            if cfg.loss_variant == "vendrov":
+                from ..losses.margin import vendrov_ranking_loss
+
+                loss, (e_pos, e_neg) = vendrov_ranking_loss(
+                    *embs, energy=cfg.energy, alpha=cfg.alpha,
+                    neg_to_pos_ratio=cfg.neg_to_pos_ratio, **energy_kw)
+            elif cfg.loss_variant == "nll":
+                from ..losses.margin import simple_euclidean_nll_loss
+
+                loss, (e_pos, e_neg) = simple_euclidean_nll_loss(
+                    *embs, neg_to_pos_ratio=cfg.neg_to_pos_ratio)
+            else:
+                loss, (e_pos, e_neg) = margin_loss(
+                    *embs, energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
             return loss, (e_pos, e_neg)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
