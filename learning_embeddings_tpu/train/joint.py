@@ -283,3 +283,46 @@ class JointEmbeddingTrainer:
             self.label_embeddings()[:nl],
             self.graph.label_closure[:nl, :nl],
             energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
+
+    def edge_metrics(self, img_paths_global, features, *,
+                     threshold=None, seed: int = 17):
+        """Edge-classification F1 on a held-out split: positives are every
+        (ancestor label → image) edge of the split's images; negatives are
+        2·ratio corrupted pairs per positive (the reference's joint val/test
+        pass, oe_h.py:906-926 + ETHECHierarchyWithImages pre-generation).
+
+        threshold=None sweeps best-F1 (val); a float reuses it (test)."""
+        from ..eval import best_threshold_metrics, threshold_metrics
+        from ..geometry import ENERGY_FNS
+        from ..losses.joint_sampling import sample_joint_negatives_np
+
+        paths = np.asarray(img_paths_global, np.int32)
+        nl = self.graph.n_labels
+        split_graph = JointGraph(
+            label_closure=self.graph.label_closure,
+            image_paths_global=paths,
+            level_start=self.graph.level_start,
+            level_stop=self.graph.level_stop)
+        n_img, L = paths.shape
+        pos_from = paths.reshape(-1)
+        pos_to = (nl + np.repeat(np.arange(n_img), L)).astype(np.int32)
+        rng = np.random.RandomState(seed + self.cfg.seed)
+        neg_from, neg_to = sample_joint_negatives_np(
+            split_graph, self.cfg.neg_to_pos_ratio, rng, pos_from, pos_to,
+            pick_per_level=self.cfg.pick_per_level)
+
+        lab = self.label_embeddings()
+        img = self.image_embeddings(features)
+
+        def emb(ids):
+            ids = jnp.asarray(ids)
+            lab_e = lab[jnp.minimum(ids, nl - 1)]
+            img_e = img[jnp.maximum(ids - nl, 0)]
+            return jnp.where((ids >= nl)[:, None], img_e, lab_e)
+
+        efn = ENERGY_FNS[self.cfg.energy]
+        e_pos = efn(emb(pos_from), emb(pos_to), **self._energy_kw)
+        e_neg = efn(emb(neg_from), emb(neg_to), **self._energy_kw)
+        if threshold is None:
+            return best_threshold_metrics(e_pos, e_neg)
+        return threshold_metrics(e_pos, e_neg, threshold)

@@ -363,6 +363,18 @@ def run_joint_embedding(
                 features=eval_features[split])
         return trainer.classification_metrics()
 
+    def edge_metrics(split):
+        """Edge-classification F1 (val sweeps + stores the threshold, test
+        reuses it — reference joint pass_samples, oe_h.py:906-926)."""
+        if not (eval_features and split in eval_features):
+            return None
+        th = trainer.optimal_threshold if split == "test" else None
+        m = trainer.edge_metrics(eval_paths[split], eval_features[split],
+                                 threshold=th)
+        if split == "val":
+            trainer.optimal_threshold = float(m.threshold)
+        return m
+
     best_f1, best_epoch = -1.0, -1
     rng = np.random.RandomState(config.seed)
     for epoch in range(start_epoch, n_epochs):
@@ -372,6 +384,10 @@ def run_joint_embedding(
         if epoch % eval_interval == 0:
             m = split_metrics("val")
             scal = {k: v for k, v in m.items() if isinstance(v, float)}
+            em = edge_metrics("val")
+            if em is not None:
+                scal["edge_f1"] = float(em.f1)
+                scal["edge_threshold"] = float(em.threshold)
             logger.scalars("val", scal, epoch)
             if m["micro_f1"] > best_f1:
                 best_f1, best_epoch = m["micro_f1"], epoch
@@ -390,9 +406,12 @@ def run_joint_embedding(
     rec = trainer.reconstruction()
     logger.scalars("reconstruction", {"f1": float(rec.f1)}, n_epochs)
     mtest = split_metrics("test")
+    test_metrics = {k: v for k, v in mtest.items() if isinstance(v, float)}
+    em_test = edge_metrics("test")
+    if em_test is not None:
+        test_metrics["edge_f1"] = float(em_test.f1)
     logger.close()
     return {"best_val_micro_f1": best_f1, "best_epoch": best_epoch,
-            "test_metrics": {k: v for k, v in mtest.items()
-                             if isinstance(v, float)},
+            "test_metrics": test_metrics,
             "reconstruction_f1": float(rec.f1),
             "trainer": trainer, "experiment": exp}
