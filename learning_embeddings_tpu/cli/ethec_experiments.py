@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_2d", action="store_true",
                         help="Use model with 2d features")
     parser.add_argument("--image_size", type=int, default=448)
+    parser.add_argument("--generate_plots", action="store_true",
+                        help="PR curves + F1-vs-frequency plots on the "
+                             "final test pass")
     return parser
 
 
@@ -90,6 +93,7 @@ def main(args=None):
         resume=args.resume,
         manifest_args=manifest_from_args(args),
         set_mode=args.set_mode,
+        generate_plots=args.generate_plots,
     )
 
 

@@ -119,6 +119,7 @@ def run_classifier(
     set_mode: str = "train",
     augment: str = "ethec",
     use_weighted_resampler: bool = True,
+    generate_plots: bool = False,
 ):
     exp = ExperimentDir(experiment_dir, experiment_name)
     write_manifest(exp, manifest_args or {})
@@ -221,6 +222,22 @@ def run_classifier(
         "test", max(best_epoch, 0), "best_test")
     np.save(os.path.join(exp.stats, "predicted_scores.npy"), scores)
     np.save(os.path.join(exp.stats, "correct_labels.npy"), ll)
+    if generate_plots:
+        # per-class PR curves + F1-vs-train-frequency (reference
+        # generate_plots path, evaluation.py:119-126, 289-340)
+        from ..eval.multilabel import render_pr_curves, render_score_vs_freq
+
+        mh_test = datasets["test"].multihot(labelmap)
+        class_names = [n for names in labelmap.ix_to_name for n in names]
+        render_pr_curves(scores, mh_test, class_names,
+                         os.path.join(exp.stats, "pr_curves"))
+        m_all, _, _ = _classifier_metrics("MLEVAL", scores, ll, mh_test,
+                                          labelmap)
+        train_freq = datasets["train"].multihot(labelmap).sum(axis=0)
+        per_class_f1 = np.concatenate(
+            [lv.per_class_f1 for lv in m_all["levels"]])
+        render_score_vs_freq(per_class_f1, train_freq,
+                             os.path.join(exp.stats, "f1_vs_train_freq.png"))
     logger.close()
     return {"best_val_score": best_score, "best_epoch": best_epoch,
             "test_metrics": flat, "experiment": exp}

@@ -296,3 +296,68 @@ def test_hsoftmax_vs_oracle():
     ref_loss = F.nll_loss(torch.tensor(ref[:, a:b]),
                           torch.tensor(ll[:, -1].astype(np.int64))).item()
     np.testing.assert_allclose(ours, ref_loss, rtol=1e-4)
+
+
+def test_multi_level_ce_gradient_parity_with_torch():
+    """Gradients, not just values: d(loss)/d(logits) must match torch
+    autograd (the training signal is what parity ultimately means)."""
+    import jax
+
+    lm = small_labelmap()
+    logits, ll = random_batch(lm, B=6)
+    lw = [1.0, 0.5, 2.0]
+    f = make_multi_level_ce(lm, lw)
+    g_ours = np.asarray(jax.grad(lambda x: f(x, jnp.array(ll)))(
+        jnp.array(logits)))
+
+    t = torch.tensor(logits, requires_grad=True)
+    tl = torch.tensor(ll.astype(np.int64))
+    loss = 0.0
+    for l in range(lm.n_levels):
+        a, b = int(lm.level_start[l]), int(lm.level_stop[l])
+        loss = loss + lw[l] * torch.nn.CrossEntropyLoss(reduction="none")(
+            t[:, a:b], tl[:, l])
+    loss.mean().backward()
+    np.testing.assert_allclose(g_ours, t.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_hsoftmax_gradient_parity_with_torch():
+    import jax
+
+    lm = small_labelmap()
+    raw = (RNG.randn(4, lm.n_classes) * 1.5).astype(np.float32)
+    ll = lm.leaf_paths()[[0, 2, 4, 1]].astype(np.int32)
+    norm = make_hierarchical_softmax(lm)
+
+    def loss_ours(x):
+        _, leaf_lp = norm(x)
+        return hierarchical_softmax_nll(leaf_lp, jnp.array(ll))
+
+    g_ours = np.asarray(jax.grad(loss_ours)(jnp.array(raw)))
+
+    t = torch.tensor(raw, requires_grad=True)
+    # torch oracle: per-parent local log_softmax chained, NLL on leaves
+    a0, b0 = int(lm.level_start[0]), int(lm.level_stop[0])
+    all_lp = [F.log_softmax(t[:, a0:b0], dim=1)]
+    for l in range(1, lm.n_levels):
+        a = int(lm.level_start[l])
+        cols = torch.full((raw.shape[0], lm.levels[l]), 0.0)
+        pieces = {}
+        for par in range(lm.levels[l - 1]):
+            kids = lm.get_children_of(par, l)
+            if not kids:
+                continue
+            local = F.log_softmax(t[:, [a + k for k in kids]], dim=1)
+            pieces[par] = (kids, local)
+        rows = []
+        out = torch.zeros((raw.shape[0], lm.levels[l]), dtype=t.dtype)
+        for par, (kids, local) in pieces.items():
+            out = out.index_add(
+                1, torch.tensor(kids),
+                local + all_lp[l - 1][:, par].unsqueeze(1))
+        all_lp.append(out)
+    leaf_lp = all_lp[-1]
+    loss = torch.nn.functional.nll_loss(
+        leaf_lp, torch.tensor(ll[:, -1].astype(np.int64)))
+    loss.backward()
+    np.testing.assert_allclose(g_ours, t.grad.numpy(), rtol=1e-3, atol=1e-5)
