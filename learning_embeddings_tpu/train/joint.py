@@ -245,6 +245,8 @@ class JointEmbeddingTrainer:
         edges, epoch_fn = self._stage(self.levels_for_epoch(epoch))
         edges = self._epoch_order(edges, rng)
         bs = self.cfg.batch_size
+        if len(edges) < bs:   # tiny curriculum stage: repeat to one batch
+            edges = np.resize(edges, (bs, 2))
         nb = max(len(edges) // bs, 1)
         e = edges[:nb * bs].reshape(nb, bs, 2)
         self.key, k = jax.random.split(self.key)

@@ -195,6 +195,8 @@ class JointCNNTrainer:
     def train_epoch(self, epoch: int, rng: np.random.RandomState):
         edges = self.train_edges[rng.permutation(len(self.train_edges))]
         bs = self.cfg.batch_size
+        if len(edges) < bs:
+            edges = np.resize(edges, (bs, 2))
         nb = max(len(edges) // bs, 1)
         total = 0.0
         for b in range(nb):
