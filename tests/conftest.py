@@ -13,10 +13,14 @@ import os
 # A sitecustomize force-registers the axon TPU backend in every python
 # process when PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS — blank
 # it out so the register is skipped and the cpu platform actually wins.
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
+#
+# LE_TPU_TESTS=1 keeps the real device (for tests/test_tpu_only.py).
+_USE_TPU = os.environ.get("LE_TPU_TESTS") == "1"
+if not _USE_TPU:
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -28,4 +32,5 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # first computation, so this still wins as long as no test ran yet.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
