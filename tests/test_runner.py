@@ -106,3 +106,18 @@ def test_bottleneck2d_runner_plots(class_setup, tmp_path):
                          augment="rrc", use_weighted_resampler=False)
     stats = res["experiment"].stats
     assert any(f.startswith("label_reps_") for f in os.listdir(stats))
+
+
+def test_validate_embedding_cli_roundtrip(tmp_path):
+    """embed_toy -> validate_embedding: manifest rebuild + checkpoint
+    re-score must reproduce the experiment."""
+    from learning_embeddings_tpu.cli.embed_toy import main as toy_main
+    from learning_embeddings_tpu.cli.validate_embedding import main as val_main
+
+    toy_main(("--pick_per_level --tree_levels 3 --tree_branching 2 "
+              "--n_epochs 30 --lr 0.03 --loss hyp_cones_loss "
+              "--embedding_dim 2 --neg_to_pos_ratio 3 --alpha 0.01 "
+              "--experiment_name v --batch_size 10 "
+              f"--experiment_dir {tmp_path}").split())
+    res = val_main(["--experiment_path", str(tmp_path / "v")])
+    assert 0.0 <= res["reconstruction_f1"] <= 1.0
