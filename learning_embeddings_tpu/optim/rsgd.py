@@ -58,27 +58,37 @@ def scale_by_conformal_factor() -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def riemannian_sgd(learning_rate: float, K: float) -> optax.GradientTransformation:
+class RiemannianSGDState(NamedTuple):
+    count: jnp.ndarray  # optimizer step, drives the lr schedule
+
+
+def riemannian_sgd(learning_rate, K: float) -> optax.GradientTransformation:
     """Full RSGD step: updates = exp_map_w(−lr · grad·(1/λ)²) − w.
 
     Matches the reference's update order: rescale, then exp-map with the
-    ±15 tanh clamp, then annulus projection inside mobius_add."""
+    ±15 tanh clamp, then annulus projection inside mobius_add.
+
+    ``learning_rate`` may be a float or an optax schedule (step → lr): the
+    reference decays its manual-RSGD lr at lr_step epoch boundaries too
+    (order_embeddings_h.py:620,775), so MultiStepLR must reach this path."""
     r0 = inner_radius(K)
 
     def init_fn(params):
-        return optax.EmptyState()
+        return RiemannianSGDState(count=jnp.zeros((), jnp.int32))
 
     def update_fn(updates, state, params=None):
         if params is None:
             raise ValueError("riemannian_sgd requires params")
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
 
         def step(g, w):
             rg = _rescale(g, w)
-            new_w = exp_map_x(w, -learning_rate * rg, r0)
+            new_w = exp_map_x(w, -lr * rg, r0)
             return new_w - w
 
         updates = jax.tree_util.tree_map(step, updates, params)
-        return updates, state
+        return updates, RiemannianSGDState(count=state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -69,6 +69,7 @@ class ClassifierConfig:
     optimizer: str = "adam"            # adam | sgd (momentum 0.9)
     lr_steps: Sequence[int] = ()       # epochs where lr ×= lr_decay
     lr_decay: float = 0.1
+    steps_per_epoch: int = 1           # converts lr_steps (epochs) → steps
     level_weights: Optional[Sequence[float]] = None
     class_weights: Optional[np.ndarray] = None
     freeze_trunk: bool = False         # reference feature_extracting
@@ -178,10 +179,15 @@ class ClassifierTrainer:
     def _make_optimizer(self, params):
         cfg = self.cfg
         if cfg.lr_steps:
-            boundaries = {int(b): cfg.lr_decay for b in cfg.lr_steps}
+            # reference MultiStepLR steps once per EPOCH (experiment.py:
+            # 158-190) while optax boundaries count optimizer steps —
+            # convert via steps_per_epoch (set by run_classifier)
+            spe = max(int(cfg.steps_per_epoch), 1)
+            boundaries = {int(b) * spe: cfg.lr_decay for b in cfg.lr_steps}
             schedule = optax.piecewise_constant_schedule(cfg.lr, boundaries)
         else:
-            schedule = cfg.lr
+            schedule = optax.constant_schedule(cfg.lr)
+        self.lr_schedule = schedule  # exposed for tests / logging
         base = (optax.adam(schedule) if cfg.optimizer == "adam"
                 else optax.sgd(schedule, momentum=0.9))
         if cfg.freeze_trunk:

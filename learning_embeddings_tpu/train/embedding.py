@@ -117,7 +117,9 @@ class EmbeddingTrainer:
                 cfg.lr, {int(e) * spe: cfg.lr_decay for e in cfg.lr_steps})
         if cfg.optimizer == "rsgd":
             assert self.cfg.energy == "hyp_cone", "rsgd is for the ball"
-            return riemannian_sgd(cfg.lr, self.K)
+            # pass the schedule through (not cfg.lr): the reference decays
+            # its manual-RSGD lr at lr_step epochs (order_embeddings_h.py:775)
+            return riemannian_sgd(lr, self.K)
         base = optax.adam(lr) if cfg.optimizer == "adam" else optax.sgd(
             lr, momentum=0.9)
         if self.cfg.energy == "hyp_cone":

@@ -126,6 +126,12 @@ def run_classifier(
     logger = MetricsLogger(exp)
     ckpt = Checkpointer(exp)
 
+    if cfg.lr_steps and cfg.steps_per_epoch <= 1:
+        # lr_steps are epoch numbers (reference MultiStepLR) — the optimizer
+        # needs the epoch length in optimizer steps to place the boundaries
+        cfg = dataclasses.replace(
+            cfg,
+            steps_per_epoch=max(len(datasets["train"]) // cfg.batch_size, 1))
     trainer = ClassifierTrainer(labelmap, cfg, mesh=mesh,
                                 grayscale=use_grayscale)
     pipes = {

@@ -102,3 +102,38 @@ def test_graft_entry_forward_traces():
     fn, (variables, images) = g.entry()
     out = jax.eval_shape(fn, variables, images)
     assert out.shape == (images.shape[0], 723)
+
+
+def test_lr_schedule_decays_per_epoch_not_per_step(lm):
+    """Regression: --lr_step N must decay after N *epochs*, matching torch
+    MultiStepLR (reference experiment.py:158-190) — not after N optimizer
+    steps (the optax piecewise boundaries count steps)."""
+    import torch
+
+    spe = 7  # steps per epoch
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-2, lr_steps=(2, 5), lr_decay=0.1,
+                           steps_per_epoch=spe, image_size=32, batch_size=8)
+    tr = ClassifierTrainer(lm, cfg)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1e-2)
+    sched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=[2, 5],
+                                                 gamma=0.1)
+    for epoch in range(7):
+        expected = opt.param_groups[0]["lr"]
+        for s in range(spe):
+            got = float(tr.lr_schedule(epoch * spe + s))
+            assert got == pytest.approx(expected), (epoch, s, got, expected)
+        sched.step()
+
+
+def test_runner_sets_steps_per_epoch_from_train_split():
+    import dataclasses
+
+    cfg = ClassifierConfig(lr_steps=(10,), batch_size=4, steps_per_epoch=1)
+    # mirror run_classifier's conversion (runner.py)
+    n_train = 37
+    cfg2 = dataclasses.replace(
+        cfg, steps_per_epoch=max(n_train // cfg.batch_size, 1))
+    assert cfg2.steps_per_epoch == 9

@@ -104,3 +104,23 @@ def test_conformal_rescale_chain_with_adam():
     assert float(loss(w)) < l0
     norms = np.linalg.norm(np.asarray(w["e"]), axis=1)
     assert (norms <= 1.0 - 1e-6).all() and (norms >= R0 - 1e-6).all()
+
+
+def test_rsgd_lr_schedule_decays():
+    """--lr_step with --use_rsgd must actually decay: riemannian_sgd
+    resolves a schedule from its step counter (order_embeddings_h.py:620,775
+    decays the manual-RSGD lr at lr_step epochs)."""
+    w = {"e": jnp.array(ball_points(8, 4))}
+    g = {"e": jnp.array((0.1 * RNG.randn(8, 4)).astype(np.float32))}
+    sched = optax.piecewise_constant_schedule(0.1, {1: 0.1})
+    tx = riemannian_sgd(sched, K)
+    state = tx.init(w)
+    up0, state = tx.update(g, state, w)          # step 0: lr = 0.1
+    up1, state = tx.update(g, state, w)          # step 1: lr = 0.01
+    # step-1 update must equal a fixed-lr(0.01) RSGD update on the same w
+    fixed = riemannian_sgd(0.01, K)
+    up_ref, _ = fixed.update(g, fixed.init(w), w)
+    np.testing.assert_allclose(np.asarray(up1["e"]), np.asarray(up_ref["e"]),
+                               rtol=1e-6)
+    # and the two steps differ (the schedule was not ignored)
+    assert not np.allclose(np.asarray(up0["e"]), np.asarray(up1["e"]))
