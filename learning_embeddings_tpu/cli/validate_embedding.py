@@ -72,9 +72,11 @@ def main(args=None):
                 else ckpt.find_existing_weights())
     payload = ckpt.load(name, {
         "params": trainer.params, "opt_state": trainer.opt_state,
-        "optimal_threshold": 0.0})
+        "optimal_threshold": float("nan")})
     trainer.params = payload["params"]
-    trainer.optimal_threshold = float(payload["optimal_threshold"]) or None
+    # NaN marks "never calibrated"; 0.0 is a valid cone-energy threshold
+    thr = float(payload["optimal_threshold"])
+    trainer.optimal_threshold = None if np.isnan(thr) else thr
 
     rec = trainer.reconstruction()
     print(f"checkpoint {name}: reconstruction f1={float(rec.f1):.4f} "

@@ -177,6 +177,21 @@ class ImagePipeline:
         stop = threading.Event()
 
         def producer():
+            try:
+                _produce()
+                out_q.put(None)
+            except BaseException as exc:
+                # deliver the error to the consumer instead of hanging it on
+                # an out_q.get() that would never be fed (non-blocking retry:
+                # the consumer may have gone away with the queue full)
+                while not stop.is_set():
+                    try:
+                        out_q.put(exc, timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
+
+        def _produce():
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
                     if stop.is_set():
@@ -208,7 +223,6 @@ class ImagePipeline:
                         "index": np.asarray(idx),
                     }
                     out_q.put(batch)
-            out_q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -217,6 +231,8 @@ class ImagePipeline:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

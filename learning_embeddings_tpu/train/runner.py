@@ -278,15 +278,18 @@ def run_label_embedding(
         trainer.load_embedding_table(init_embeddings)
 
     start_epoch = 0
+    # NaN = "no calibrated threshold yet": 0.0 is a legitimate calibrated
+    # value for cone energies (positives can sit exactly at 0 energy)
     like = {"params": trainer.params, "opt_state": trainer.opt_state,
-            "optimal_threshold": 0.0}
+            "optimal_threshold": float("nan")}
     if resume:
         latest = ckpt.find_existing_weights()
         if latest is not None:
             payload = ckpt.load(latest, like)
             trainer.params = payload["params"]
             trainer.opt_state = payload["opt_state"]
-            trainer.optimal_threshold = float(payload["optimal_threshold"])
+            thr = float(payload["optimal_threshold"])
+            trainer.optimal_threshold = None if np.isnan(thr) else thr
             start_epoch = latest + 1
 
     viz_every = (5 if config.embedding_dim == 2 else 0)
@@ -316,7 +319,9 @@ def run_label_embedding(
                 ckpt.save("best_model", {
                     "params": trainer.params,
                     "opt_state": trainer.opt_state,
-                    "optimal_threshold": trainer.optimal_threshold or 0.0})
+                    "optimal_threshold": (
+                        float("nan") if trainer.optimal_threshold is None
+                        else trainer.optimal_threshold)})
         if check_reconstr_every and epoch % check_reconstr_every == 0:
             rec = trainer.reconstruction()
             logger.scalars("reconstruction", {
@@ -324,7 +329,9 @@ def run_label_embedding(
                 "threshold": float(rec.threshold)}, epoch)
         ckpt.save(epoch, {"params": trainer.params,
                           "opt_state": trainer.opt_state,
-                          "optimal_threshold": trainer.optimal_threshold or 0.0})
+                          "optimal_threshold": (
+                              float("nan") if trainer.optimal_threshold is None
+                              else trainer.optimal_threshold)})
         logger.scalar("epoch_time", time.time() - t0, epoch)
 
     results = {"best_val_f1": best_f1, "best_epoch": best_epoch}

@@ -43,7 +43,9 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t size, int want_gray,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  uint8_t* out = nullptr;
+  // volatile: `out` changes between setjmp and a possible longjmp (decode
+  // errors mid-scanline); without it the error path could free a stale copy
+  uint8_t* volatile out = nullptr;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);

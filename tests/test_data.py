@@ -178,3 +178,18 @@ def test_butterfly200_style_records(tmp_path):
     assert lm.n_levels == 4 and lm.levels[0] == 5
     assert sum(len(d) for d in datasets.values()) == 300
     assert (datasets["train"].level_labels < np.asarray(lm.levels)).all()
+
+
+def test_pipeline_producer_error_propagates(image_dir):
+    """A failing image load must raise in the consumer, not hang it on an
+    out_q.get() that is never fed (the producer thread died)."""
+    root, recs = image_dir
+    recs = [dict(r) for r in recs]
+    recs[0]["image_name"] = "does_not_exist.jpg"
+    lm = labelmap_from_records(recs)
+    ds = encode_records(recs, lm)
+    pipe = ImagePipeline(ds, lm, str(root), image_size=32, batch_size=4,
+                         train=True, num_workers=2)
+    with pytest.raises(Exception):
+        for _ in pipe.batches(np.arange(len(ds)), seed=0):
+            pass
