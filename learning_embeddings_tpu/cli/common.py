@@ -62,18 +62,19 @@ def load_ethec_data(data_dir: str, debug: bool = False,
             records[split] = load_ethec_json(path)
     if not records:
         raise FileNotFoundError(f"no ETHEC split json in {data_dir}")
+    # Build the labelmap over the PRE-split pool: the reference's labelmap
+    # is the full hard-coded taxonomy (db.py:1117-3563) regardless of which
+    # samples land in which split — a resplit that drops small classes must
+    # not silently renumber (or shrink) the taxonomy.
+    all_records = [r for rs in records.values() for r in rs]
+    labelmap = labelmap_from_records(all_records)
     if "train" not in records:
         # train.json is gitignored upstream; fall back to stratified
         # resplitting of whatever is available so the pipeline still runs.
         from ..data import stratified_split
 
-        pool = [r for rs in records.values() for r in rs]
-        lm_tmp = labelmap_from_records(pool)
-        tr, va, te = stratified_split(pool, lm_tmp)
+        tr, va, te = stratified_split(all_records, labelmap)
         records = {"train": tr, "val": va, "test": te}
-
-    all_records = [r for rs in records.values() for r in rs]
-    labelmap = labelmap_from_records(all_records)
     if debug:
         keep = set(labelmap.ix_to_name[-1][:n_debug_leaves])
         small = [r for r in all_records

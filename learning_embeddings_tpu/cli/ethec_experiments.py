@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_2d", action="store_true",
                         help="Use model with 2d features")
     parser.add_argument("--image_size", type=int, default=448)
+    parser.add_argument("--freeze_bn", action="store_true",
+                        help="Train with frozen BN running statistics "
+                             "(standard fine-tune config; large TPU "
+                             "throughput win).")
+    parser.add_argument("--bn_stats_rows", type=int, default=0,
+                        help=">0: ghost-batch BN statistics over the first "
+                             "N rows (approximate, faster).")
     parser.add_argument("--generate_plots", action="store_true",
                         help="PR curves + F1-vs-frequency plots on the "
                              "final test pass")
@@ -78,6 +85,8 @@ def main(args=None):
         # --use_2d: 2-d bottleneck + per-level bias-free heads
         # (CNN2DFeat / ETHEC2D variant, ethec_experiments.py:35-200)
         head_override="bottleneck2d" if args.use_2d else None,
+        freeze_bn=args.freeze_bn,
+        bn_stats_rows=args.bn_stats_rows,
     )
     evaluator = args.evaluator if args.loss == "multi_label" else "MLEVAL"
     return run_classifier(

@@ -24,6 +24,12 @@ def build_parser():
     parser.add_argument("--prop_of_nb_edges", type=float, default=0.9)
     parser.add_argument("--loss", type=str, default="hyp_cones_loss")
     parser.add_argument("--pick_per_level", action="store_true")
+    parser.add_argument("--graph_from", type=str, default="train",
+                        choices=("train", "all"),
+                        help="Build the label graph from the train split "
+                             "(reference semantics, order_embeddings.py:"
+                             "363-371) or from all splits (covers the full "
+                             "723-node taxonomy when train.json is absent)")
     parser.add_argument("--check_reconstr_every", type=int, default=10)
     parser.add_argument("--use_rsgd", action="store_true",
                         help="Full Riemannian SGD instead of the "
@@ -37,7 +43,11 @@ def build_parser():
 def main(args=None):
     args = build_parser().parse_args(args)
     labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
-    adj = label_graph_from_paths(datasets["train"].level_labels, labelmap)
+    import numpy as np
+    level_labels = (np.concatenate([d.level_labels for d in datasets.values()])
+                    if args.graph_from == "all"
+                    else datasets["train"].level_labels)
+    adj = label_graph_from_paths(level_labels, labelmap)
     splits = split_edges(adj,
                          proportion_of_nb_edges_in_train=args.prop_of_nb_edges,
                          seed=args.random_seed)

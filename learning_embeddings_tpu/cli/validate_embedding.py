@@ -45,7 +45,11 @@ def main(args=None):
         lm, datasets, _ = load_ethec_data(
             manifest.get("data_dir", "/root/reference/splits/ETHEC"),
             manifest.get("debug", "False") == "True")
-        level_labels = datasets["train"].level_labels
+        if manifest.get("graph_from", "train") == "all":
+            level_labels = np.concatenate(
+                [d.level_labels for d in datasets.values()])
+        else:
+            level_labels = datasets["train"].level_labels
         prop = float(manifest.get("prop_of_nb_edges", 0.9))
     adj = label_graph_from_paths(level_labels, lm)
     splits = split_edges(adj, proportion_of_nb_edges_in_train=prop,

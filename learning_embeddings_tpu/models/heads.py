@@ -43,13 +43,15 @@ class HierarchicalCNN(nn.Module):
     bottleneck_dim: int = 2
     remat: bool = False
     stem: str = "conv7"
+    bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture_bottleneck: bool = False):
         n_classes = int(sum(self.levels))
         trunk = BACKBONES[self.backbone](
             num_classes=None, dtype=self.dtype, features_only=True,
-            remat=self.remat, stem=self.stem, name="trunk")
+            remat=self.remat, stem=self.stem,
+            bn_stats_rows=self.bn_stats_rows, name="trunk")
         feats = trunk(x, train=train)                     # (B, F) f32
 
         if self.head == "multi_head":

@@ -21,10 +21,12 @@ from __future__ import annotations
 import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = [
+    "GhostBatchNorm",
     "ResNet",
     "resnet18",
     "resnet34",
@@ -35,6 +37,60 @@ __all__ = [
 ]
 
 ModuleDef = Any
+
+
+class GhostBatchNorm(nn.Module):
+    """BatchNorm whose train-time statistics come from only the first
+    `stats_rows` batch rows (ghost-batch statistics).
+
+    Rationale (TPU): the profiled resnet50@448 train step spends ~52% of
+    its time in convert_reduce fusions — f32 stat reductions over huge bf16
+    activations (forward mean/var + backward d(stats) sweeps). Subsampled
+    statistics cut that reduction bandwidth by batch/stats_rows while the
+    normalization itself stays exact over the full batch. Opt-in via
+    `bn_stats_rows` (0 = exact nn.BatchNorm); an approximation of the
+    reference's BN semantics, not default.
+
+    Parameter/variable names match flax nn.BatchNorm ('scale', 'bias',
+    'mean', 'var') so torchvision weight import is unaffected."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    stats_rows: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (C,))
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          self.param_dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            rows = (min(self.stats_rows, x.shape[0]) if self.stats_rows
+                    else x.shape[0])
+            xs = x[:rows].astype(jnp.float32)
+            axes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axes)
+            var = jnp.maximum(jnp.mean(xs * xs, axes) - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        # fold into per-channel (a, b) so the full-batch elementwise pass
+        # runs in the compute dtype (one fused multiply-add over x)
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -112,6 +168,8 @@ class ResNet(nn.Module):
     #: far better onto the MXU than 3 channels at full resolution).
     #: Imported 7×7 torchvision weights convert via s2d_stem_kernel().
     stem: str = "conv7"
+    #: >0 = ghost-batch BN statistics over the first N rows (GhostBatchNorm)
+    bn_stats_rows: int = 0
 
     @property
     def feature_dim(self) -> int:
@@ -120,9 +178,15 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = functools.partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9,
-            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        if self.bn_stats_rows:
+            norm = functools.partial(
+                GhostBatchNorm, use_running_average=not train, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype,
+                stats_rows=self.bn_stats_rows)
+        else:
+            norm = functools.partial(
+                nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
         if self.stem == "s2d":
             # space-to-depth(2): (B, H, W, C) -> (B, H/2, W/2, 4C), then a
@@ -208,6 +272,7 @@ class AlexNet(nn.Module):
     features_only: bool = False
     remat: bool = False   # accepted for API uniformity; unused
     stem: str = "conv7"   # accepted for API uniformity; unused
+    bn_stats_rows: int = 0  # accepted for API uniformity; no BN in alexnet
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -243,14 +308,21 @@ class VGG11BN(nn.Module):
     features_only: bool = False
     remat: bool = False   # accepted for API uniformity; unused
     stem: str = "conv7"   # accepted for API uniformity; unused
+    bn_stats_rows: int = 0
 
     CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = functools.partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9,
-            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        if self.bn_stats_rows:
+            norm = functools.partial(
+                GhostBatchNorm, use_running_average=not train, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype,
+                stats_rows=self.bn_stats_rows)
+        else:
+            norm = functools.partial(
+                nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
         for v in self.CFG:
             if v == "M":

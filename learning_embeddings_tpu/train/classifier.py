@@ -81,6 +81,10 @@ class ClassifierConfig:
     head_override: Optional[str] = None  # e.g. 'bottleneck2d' (--use_2d)
     remat: bool = False  # rematerialize residual blocks (memory vs FLOPs)
     stem: str = "conv7"  # 's2d' = space-to-depth stem (MXU-efficient, equivalent)
+    freeze_bn: bool = False  # train with BN in inference mode (frozen
+    #                          running stats — the standard fine-tune config;
+    #                          skips the BN stat/stat-grad reduction sweeps)
+    bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -135,6 +139,7 @@ class ClassifierTrainer:
             dtype=cfg.dtype,
             remat=cfg.remat,
             stem=cfg.stem,
+            bn_stats_rows=cfg.bn_stats_rows,
         )
         self.criterion = make_criterion(labelmap, cfg)
         self.n_channels = 1 if grayscale else 3
@@ -205,12 +210,22 @@ class ClassifierTrainer:
     def _build_train_step(self):
         model, criterion, tx = self.model, self.criterion, self.tx
 
-        def loss_fn(params, batch_stats, images, level_labels, multihot):
-            raw, mutated = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                images, train=True, mutable=["batch_stats"])
-            loss, _ = criterion(raw, level_labels, multihot)
-            return loss, mutated["batch_stats"]
+        if self.cfg.freeze_bn:
+            # BN in inference mode during training: running stats frozen,
+            # no stat/stat-grad reduction sweeps over the activations
+            def loss_fn(params, batch_stats, images, level_labels, multihot):
+                raw = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, train=False)
+                loss, _ = criterion(raw, level_labels, multihot)
+                return loss, batch_stats
+        else:
+            def loss_fn(params, batch_stats, images, level_labels, multihot):
+                raw, mutated = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, train=True, mutable=["batch_stats"])
+                loss, _ = criterion(raw, level_labels, multihot)
+                return loss, mutated["batch_stats"]
 
         def step(state: TrainState, images, level_labels, multihot):
             (loss, new_stats), grads = jax.value_and_grad(

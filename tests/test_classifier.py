@@ -137,3 +137,58 @@ def test_runner_sets_steps_per_epoch_from_train_split():
     cfg2 = dataclasses.replace(
         cfg, steps_per_epoch=max(n_train // cfg.batch_size, 1))
     assert cfg2.steps_per_epoch == 9
+
+
+def test_freeze_bn_step_keeps_stats_and_learns(lm):
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=8,
+                           freeze_bn=True)
+    tr = ClassifierTrainer(lm, cfg)
+    batch = tr.put_batch(*make_batch(lm))
+    s0 = tr.state
+    s1, l0 = tr.train_step(s0, *batch)
+    s2, l1 = tr.train_step(s1, *batch)
+    assert np.isfinite(float(l0)) and float(l1) < float(l0)
+    # running stats untouched
+    for a, b in zip(jax.tree_util.tree_leaves(s0.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ghost_bn_matches_batchnorm_when_full_rows(lm):
+    """stats_rows >= batch must reproduce exact BatchNorm behavior."""
+    from learning_embeddings_tpu.models.heads import HierarchicalCNN
+
+    imgs, _, _ = make_batch(lm, B=8, size=32)
+    kw = dict(backbone="resnet18", levels=tuple(lm.levels),
+              head="multi_head", dtype=jnp.float32)
+    m_exact = HierarchicalCNN(**kw)
+    m_ghost = HierarchicalCNN(**kw, bn_stats_rows=8)
+    v = m_exact.init(jax.random.PRNGKey(0), jnp.asarray(imgs[:1]), train=False)
+    out_e, mut_e = m_exact.apply(v, jnp.asarray(imgs), train=True,
+                                 mutable=["batch_stats"])
+    out_g, mut_g = m_ghost.apply(v, jnp.asarray(imgs), train=True,
+                                 mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_g),
+                               rtol=1e-3, atol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_e["batch_stats"]),
+                    jax.tree_util.tree_leaves(mut_g["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ghost_bn_subsampled_stats_train_step(lm):
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=8,
+                           bn_stats_rows=4)
+    tr = ClassifierTrainer(lm, cfg)
+    batch = tr.put_batch(*make_batch(lm))
+    s1, l0 = tr.train_step(tr.state, *batch)
+    s2, l1 = tr.train_step(s1, *batch)
+    assert np.isfinite(float(l0)) and float(l1) < float(l0)
+    # running stats DID update (unlike freeze_bn)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(tr.state.batch_stats),
+                        jax.tree_util.tree_leaves(s2.batch_stats)))
+    assert changed
