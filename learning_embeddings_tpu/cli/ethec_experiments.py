@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_2d", action="store_true",
                         help="Use model with 2d features")
     parser.add_argument("--image_size", type=int, default=448)
+    parser.add_argument("--load_backbone_from", type=str, default=None,
+                        help="Path to a torchvision resnet state_dict .pth "
+                             "— starts the trunk from pretrained weights "
+                             "(the reference's pretrained=True).")
     parser.add_argument("--freeze_bn", action="store_true",
                         help="Train with frozen BN running statistics "
                              "(standard fine-tune config; large TPU "
@@ -103,6 +107,7 @@ def main(args=None):
         manifest_args=manifest_from_args(args),
         set_mode=args.set_mode,
         generate_plots=args.generate_plots,
+        load_backbone_from=args.load_backbone_from,
     )
 
 

@@ -262,6 +262,43 @@ class ClassifierTrainer:
         return jax.jit(step)
 
     # ------------------------------------------------------------------
+    def load_backbone_state_dict(self, path: str) -> None:
+        """Start the trunk from a torchvision state-dict file — the
+        reference always trains from `pretrained=True` backbones
+        (finetuner.py:117-128); this is the documented path from an actual
+        torchvision checkpoint to a run (--load_backbone_from)."""
+        from flax import serialization
+
+        from ..models.resnet import s2d_stem_kernel
+        from ..models.torch_import import (
+            import_torchvision_resnet,
+            load_state_dict_file,
+        )
+
+        sd = load_state_dict_file(path)
+        params, stats = import_torchvision_resnet(sd)
+        if self.cfg.stem == "s2d":
+            params["conv1"]["kernel"] = s2d_stem_kernel(
+                params["conv1"]["kernel"])
+        cur_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
+        cur_stats = jax.tree_util.tree_map(lambda x: x, self.state.batch_stats)
+        if self.n_channels != 3:
+            # grayscale conv1 surgery keeps its fresh init
+            # (ethec_experiments.py:222-238)
+            params["conv1"] = {"kernel": np.asarray(
+                cur_params["trunk"]["conv1"]["kernel"])}
+        trunk_p = serialization.from_state_dict(cur_params["trunk"], params)
+        trunk_s = serialization.from_state_dict(cur_stats["trunk"], stats)
+        new_params = dict(cur_params)
+        new_params["trunk"] = trunk_p
+        new_stats = dict(cur_stats)
+        new_stats["trunk"] = trunk_s
+        state = self.state.replace(params=new_params, batch_stats=new_stats)
+        if self._state_shardings is not None:
+            state = jax.device_put(state, self._state_shardings)
+        self.state = state
+
+    # ------------------------------------------------------------------
     def put_batch(self, images, level_labels, multihot):
         to = lambda x: (jax.device_put(x, self._batch_sharding)
                         if self._batch_sharding is not None else jnp.asarray(x))

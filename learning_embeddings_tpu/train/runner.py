@@ -120,6 +120,7 @@ def run_classifier(
     augment: str = "ethec",
     use_weighted_resampler: bool = True,
     generate_plots: bool = False,
+    load_backbone_from: Optional[str] = None,
 ):
     exp = ExperimentDir(experiment_dir, experiment_name)
     write_manifest(exp, manifest_args or {})
@@ -134,6 +135,10 @@ def run_classifier(
             steps_per_epoch=max(len(datasets["train"]) // cfg.batch_size, 1))
     trainer = ClassifierTrainer(labelmap, cfg, mesh=mesh,
                                 grayscale=use_grayscale)
+    if load_backbone_from:
+        # pretrained torchvision weights (reference pretrained=True,
+        # finetuner.py:117-128)
+        trainer.load_backbone_state_dict(load_backbone_from)
     pipes = {
         split: ImagePipeline(
             ds, labelmap, image_root, image_size=cfg.image_size,
