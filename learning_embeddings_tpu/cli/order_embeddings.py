@@ -29,6 +29,11 @@ def build_parser():
     parser.add_argument("--loss", type=str, required=True,
                         help="[order_emb_loss, euc_cones_loss]")
     parser.add_argument("--pick_per_level", action="store_true")
+    parser.add_argument("--taxonomy", type=str, default="ethec",
+                        choices=("ethec", "butterfly200"),
+                        help="butterfly200: label-only embedding on the "
+                             "frozen 5/23/116/200 taxonomy (no dataset "
+                             "json needed; reference db.py:17-1115)")
     parser.add_argument("--graph_from", type=str, default="train",
                         choices=("train", "all"),
                         help="Build the label graph from the train split "
@@ -45,12 +50,17 @@ def main(args=None):
     import numpy as np
 
     args = build_parser().parse_args(args)
-    labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
-    # label graph from the observed train paths (order_embeddings.py:363-371)
-    import numpy as np
-    level_labels = (np.concatenate([d.level_labels for d in datasets.values()])
-                    if args.graph_from == "all"
-                    else datasets["train"].level_labels)
+    if args.taxonomy == "butterfly200":
+        from ..hierarchy import butterfly200_labelmap
+
+        labelmap = butterfly200_labelmap()
+        level_labels = labelmap.leaf_paths()   # full taxonomy coverage
+    else:
+        labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
+        level_labels = (np.concatenate([d.level_labels
+                                        for d in datasets.values()])
+                        if args.graph_from == "all"
+                        else datasets["train"].level_labels)
     adj = label_graph_from_paths(level_labels, labelmap)
     splits = split_edges(adj,
                          proportion_of_nb_edges_in_train=args.prop_of_nb_edges,

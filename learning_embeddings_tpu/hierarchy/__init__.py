@@ -1,6 +1,7 @@
 from .labelmap import (
     LabelMap,
     build_labelmap,
+    butterfly200_labelmap,
     labelmap_from_records,
     toy_labelmap,
 )
@@ -16,6 +17,7 @@ from .graph import (
 __all__ = [
     "LabelMap",
     "build_labelmap",
+    "butterfly200_labelmap",
     "labelmap_from_records",
     "toy_labelmap",
     "EdgeSplits",

@@ -31,6 +31,7 @@ __all__ = [
     "build_labelmap",
     "toy_labelmap",
     "labelmap_from_records",
+    "butterfly200_labelmap",
 ]
 
 
@@ -230,6 +231,26 @@ def toy_labelmap(branching: int = 3, n_levels: int = 3) -> LabelMap:
         for l in range(n_levels - 1)
     ]
     return build_labelmap(level_names, names_by_level, child_of)
+
+
+def butterfly200_labelmap() -> LabelMap:
+    """The Butterfly200 5/23/116/200 taxonomy (reference
+    `Butterfly200LabelMap`, db.py:17-1115), shipped as frozen DATA in
+    data/butterfly200_taxonomy.json (extracted by
+    tools/extract_butterfly200.py) with reference index order preserved —
+    usable without any dataset json."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "butterfly200_taxonomy.json")
+    with open(path) as f:
+        d = json.load(f)
+    level_names = ("family", "subfamily", "genus", "genus_specific_epithet")
+    names_by_level = [d["levels"][n] for n in level_names]
+    child_of = [d["child_of"][n] for n in level_names[:-1]]
+    lm = build_labelmap(level_names, names_by_level, child_of)
+    assert lm.levels == (5, 23, 116, 200), lm.levels
+    return lm
 
 
 def labelmap_from_records(

@@ -192,3 +192,31 @@ def test_ghost_bn_subsampled_stats_train_step(lm):
         for a, b in zip(jax.tree_util.tree_leaves(tr.state.batch_stats),
                         jax.tree_util.tree_leaves(s2.batch_stats)))
     assert changed
+
+
+def test_head_tensor_parallel_actually_shards(lm):
+    """The wide fc must actually land on the 'model' axis on a (4,2) mesh:
+    fan-out (odd n_classes, like ETHEC's 723) does not divide 2, so the
+    divisibility fallback must shard the fan-in (row-parallel, XLA inserts
+    the psum) — not silently replicate. Loss must match the single-device
+    run."""
+    from jax.sharding import PartitionSpec as P
+
+    assert lm.n_classes % 2 == 1  # odd, like 723
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=8, seed=0,
+                           dtype=jnp.float32)
+    mesh = make_mesh(n_data=4, n_model=2)
+    tr = ClassifierTrainer(lm, cfg, mesh=mesh)
+    spec = tr.state.params["fc"]["kernel"].sharding.spec
+    assert tuple(spec) == ("model", None), spec  # row-parallel on fan-in 512
+    # bias (shape (n_classes,) odd) stays replicated
+    bspec = tr.state.params["fc"]["bias"].sharding.spec
+    assert tuple(bspec) in ((), (None,)), bspec
+
+    batch_np = make_batch(lm)
+    tr_single = ClassifierTrainer(lm, cfg, mesh=None)
+    _, l_tp = tr.train_step(tr.state, *tr.put_batch(*batch_np))
+    _, l_single = tr_single.train_step(tr_single.state,
+                                       *tr_single.put_batch(*batch_np))
+    assert abs(float(l_tp) - float(l_single)) < 1e-4

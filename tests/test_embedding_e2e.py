@@ -157,3 +157,17 @@ def test_embedding_runner_writes_2d_frames(tmp_path):
                               check_reconstr_every=0)
     frames = os.listdir(os.path.join(res["experiment"].stats, "frames"))
     assert "epoch_0000.png" in frames and "epoch_0005.png" in frames
+
+
+def test_butterfly200_label_embedding_workload(tmp_path):
+    """Butterfly200 is a usable label-embedding workload straight from the
+    frozen taxonomy — no dataset json (VERDICT r1 item 8)."""
+    from learning_embeddings_tpu.cli.order_embeddings_h import main
+
+    r = main(("--set_mode train --taxonomy butterfly200 --loss hyp_cones_loss "
+              "--pick_per_level --n_epochs 3 --lr 0.01 --batch_size 20 "
+              "--embedding_dim 6 --neg_to_pos_ratio 3 --eval_interval 2 "
+              "--check_reconstr_every 0 --experiment_name b200 "
+              f"--experiment_dir {tmp_path}").split())
+    assert np.isfinite(r["best_val_f1"])
+    assert r["trainer"].n_nodes == 344

@@ -112,3 +112,23 @@ def test_full_child_mask_and_level_of():
     assert A[0, 2] and A[0, 3] and A[1, 4]
     np.testing.assert_array_equal(
         lm.level_of_global(), [0, 0, 1, 1, 1, 2, 2, 2, 2, 2])
+
+
+def test_butterfly200_frozen_taxonomy():
+    """The shipped Butterfly200 taxonomy must carry the reference's exact
+    5/23/116/200 counts (Butterfly200LabelMap, db.py:17-1115) and form a
+    valid single-parent tree."""
+    from learning_embeddings_tpu.hierarchy import butterfly200_labelmap
+
+    lm = butterfly200_labelmap()
+    assert lm.levels == (5, 23, 116, 200)
+    assert lm.n_classes == 344
+    # reference index order spot checks (db.py:20-27, 173+)
+    assert lm.name_to_ix[0]["Papilionidae"] == 0
+    assert lm.name_to_ix[0]["Hesperiidae"] == 4
+    # every leaf has a full 4-level ancestor path
+    paths = lm.leaf_paths()
+    assert paths.shape == (200, 4)
+    assert (paths >= 0).all()
+    # families of all leaves are valid
+    assert (paths[:, 0] < 5).all()
