@@ -75,8 +75,8 @@ class GhostBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            rows = (min(self.stats_rows, x.shape[0]) if self.stats_rows
-                    else x.shape[0])
+            rows = (min(self.stats_rows, x.shape[0]) if self.stats_rows > 0
+                    else x.shape[0])  # <=0: full batch (folded-normalize BN)
             xs = x[:rows].astype(jnp.float32)
             axes = tuple(range(xs.ndim - 1))
             mean = jnp.mean(xs, axes)
