@@ -167,3 +167,48 @@ def test_viz_smoke(tmp_path):
     region = plot_dot_product_voronoi(RNG.randn(4, 2),
                                       str(tmp_path / "vor.png"), res=50)
     assert region.shape == (50, 50) and len(np.unique(region)) > 1
+
+
+def test_embedding_inversion_analysis(tmp_path):
+    """plot_contours.py:200-330 parity: sphere inversion of 2-d label
+    vectors + tree-edge plot + dot-product reconstruction scoring."""
+    from learning_embeddings_tpu.viz.contours import (
+        dot_product_reconstruction,
+        invert_embeddings,
+        plot_inverted_embedding,
+    )
+
+    lm = toy_labelmap(2, 3)
+    # ideal dot-product order embedding: child = parent direction, larger
+    # norm -> closure reconstructs perfectly
+    emb = np.zeros((lm.n_classes, 2))
+    level_of = lm.level_of_global()
+    rng = np.random.RandomState(3)
+    for g in range(lm.n_classes):
+        p = lm.parent_ix[g]
+        base = emb[p] if p >= 0 else np.zeros(2)
+        d = rng.randn(2) * 0.05 + (1.0 if p < 0 else 0.0) * rng.randn(2)
+        v = base + d
+        v = v / max(np.linalg.norm(v), 1e-9)
+        emb[g] = v * (1.0 + level_of[g])
+
+    inv = invert_embeddings(emb, scale=3.0)
+    # inversion flips the norm ordering: deepest level ends up smallest
+    mean_norm = [np.linalg.norm(inv[level_of == l], axis=1).mean()
+                 for l in range(lm.n_levels)]
+    assert mean_norm[0] > mean_norm[-1]
+    # x/‖x‖² preserves direction
+    cos = (inv * emb).sum(1) / (
+        np.linalg.norm(inv, axis=1) * np.linalg.norm(emb, axis=1))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-6)
+
+    out = plot_inverted_embedding(emb, lm, str(tmp_path / "inv.png"))
+    assert (tmp_path / "inv.png").exists() and out.shape == emb.shape
+
+    m = dot_product_reconstruction(emb, lm)
+    # the dot energy is symmetric while the closure is directed, so high F1
+    # is unreachable by construction (same limit as the reference's
+    # dot_operator analysis) — assert the sweep produces a valid scoring
+    assert 0.0 < float(m.f1) <= 1.0
+    assert np.isfinite(float(m.threshold))
+    assert float(m.recall) <= 1.0 and float(m.precision) <= 1.0
