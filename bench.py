@@ -132,10 +132,89 @@ def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
     }))
 
 
+def main_hostfed(batch_size: int = 128, steps: int = 6, n_images: int = 256,
+                 src_size: int = 512):
+    """Host-fed train bench: the step is fed from the real input path —
+    native JPEG loader (decode → resize → crop → flip → normalize) over
+    generated JPEGs, NO pre-staging (reference DataLoader-worker path,
+    ethec_experiments.py:351-364).
+
+    Reports the host pipeline's standalone throughput AND the end-to-end
+    host→device train rate. NOTE (BASELINE.md): this dev harness reaches
+    the chip through a ~15 MB/s tunnel, so the end-to-end number here is
+    transfer-dominated; on a real TPU host (PCIe) the host pipeline rate
+    vs the device step rate determines whether training is input-bound."""
+    import tempfile
+
+    import cv2
+    import jax.numpy as jnp
+    from __graft_entry__ import _ethec_labelmap
+    from learning_embeddings_tpu.data import ImagePipeline, encode_records
+    from learning_embeddings_tpu.train.classifier import (
+        ClassifierConfig, ClassifierTrainer)
+
+    labelmap = _ethec_labelmap()
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_hostfed_")
+    leaves = labelmap.leaf_paths()
+    records = []
+    for i in range(n_images):
+        name = f"im_{i}.jpg"
+        cv2.imwrite(os.path.join(tmp, name),
+                    rng.randint(0, 255, (src_size, src_size, 3), np.uint8))
+        path = leaves[rng.randint(0, labelmap.levels[-1])]
+        records.append({"token": f"t{i}", "image_path": "", "image_name": name,
+                        "family": labelmap.ix_to_name[0][path[0]],
+                        "subfamily": labelmap.ix_to_name[1][path[1]],
+                        "genus": labelmap.ix_to_name[2][path[2]],
+                        "specific_epithet":
+                            labelmap.ix_to_name[3][path[3]].split("_", 1)[1]})
+    ds = encode_records(records, labelmap)
+    pipe = ImagePipeline(ds, labelmap, tmp, image_size=448,
+                         batch_size=batch_size, train=True, num_workers=8)
+
+    # (a) host pipeline standalone
+    order = rng.randint(0, n_images, batch_size * steps)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in pipe.batches(order, seed=0):
+        n += len(batch["image"])
+    host_ips = n / (time.perf_counter() - t0)
+
+    # (b) end-to-end host-fed training (includes device transfer per step)
+    cfg = ClassifierConfig(backbone="resnet50", criterion="multi_level_ce",
+                           lr=1e-5, optimizer="adam", image_size=448,
+                           batch_size=batch_size, seed=0)
+    trainer = ClassifierTrainer(labelmap, cfg, mesh=None)
+    state = trainer.state
+    warm = next(iter(pipe.batches(order[:batch_size], seed=1)))
+    b = trainer.put_batch(warm["image"], warm["level_labels"],
+                          warm["multihot"])
+    state, loss = trainer.train_step(state, *b)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in pipe.batches(order, seed=2):
+        b = trainer.put_batch(batch["image"], batch["level_labels"],
+                              batch["multihot"])
+        state, loss = trainer.train_step(state, *b)
+        n += len(batch["image"])
+    _ = float(loss)
+    e2e_ips = n / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "ETHEC ResNet-50@448 train, host-fed (no pre-staging)",
+        "value": round(e2e_ips, 2), "unit": "images/sec/chip",
+        "vs_baseline": round(e2e_ips / BASELINE_IMG_PER_SEC, 3),
+        "host_pipeline_img_per_s": round(host_ips, 1),
+    }))
+
+
 if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "joint":
         main_joint(batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+    elif len(sys.argv) > 1 and sys.argv[1] == "hostfed":
+        main_hostfed(batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
     else:
         bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
         main(batch_size=bs)
