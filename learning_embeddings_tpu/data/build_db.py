@@ -28,21 +28,74 @@ ETHEC_FAMILIES = ("Hesperiidae", "Papilionidae", "Pieridae", "Nymphalidae",
                   "Lycaenidae", "Riodinidae")
 
 
+def _read_xlsx_rows(path: str) -> List[list]:
+    """Minimal dependency-free .xlsx reader (an .xlsx is a zip of
+    spreadsheetml XML): first worksheet, shared/inline strings + raw
+    values — enough of the format for the ETHEC master sheet. Used when
+    openpyxl is unavailable (this image)."""
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    with zipfile.ZipFile(path) as z:
+        shared: List[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root:
+                shared.append("".join(t.text or "" for t in si.iter()
+                                      if local(t.tag) == "t"))
+        sheets = sorted(n for n in z.namelist()
+                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        if not sheets:
+            raise ValueError(f"{path}: no worksheets found")
+        root = ET.fromstring(z.read(sheets[0]))
+        rows: List[list] = []
+        for row in root.iter():
+            if local(row.tag) != "row":
+                continue
+            cells: Dict[int, object] = {}
+            for c in row:
+                if local(c.tag) != "c":
+                    continue
+                m = re.match(r"([A-Z]+)", c.attrib.get("r", ""))
+                if not m:
+                    continue
+                ci = 0
+                for ch in m.group(1):
+                    ci = ci * 26 + ord(ch) - 64
+                t = c.attrib.get("t", "n")
+                v = None
+                if t == "inlineStr":
+                    v = "".join(x.text or "" for x in c.iter()
+                                if local(x.tag) == "t")
+                else:
+                    for x in c:
+                        if local(x.tag) == "v":
+                            v = x.text
+                    if v is not None and t == "s":
+                        v = shared[int(v)]
+                cells[ci - 1] = v
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+    return rows
+
+
 def generate_database_from_xlsx(xlsx_path: str, json_path: str,
                                 mini: bool = False,
                                 header_row: int = 0) -> Dict[str, dict]:
     """xlsx rows → {uuid-token: record} json (reference utilities.py:7-46).
-    Requires openpyxl (not installed in this image — the function raises a
-    clear error so callers can gate on it)."""
+    Uses openpyxl when present, otherwise the built-in spreadsheetml
+    reader (_read_xlsx_rows)."""
     try:
         import openpyxl
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "generate_database_from_xlsx needs openpyxl; install it or "
-            "start from the shipped json splits instead") from e
-    wb = openpyxl.load_workbook(xlsx_path, read_only=True)
-    ws = wb.active
-    rows = ws.iter_rows(values_only=True)
+
+        wb = openpyxl.load_workbook(xlsx_path, read_only=True)
+        rows = wb.active.iter_rows(values_only=True)
+    except ImportError:
+        rows = iter(_read_xlsx_rows(xlsx_path))
     header = [str(h) for h in next(rows)]
     db: Dict[str, dict] = {}
     for i, row in enumerate(rows):

@@ -212,3 +212,72 @@ def test_embedding_inversion_analysis(tmp_path):
     assert 0.0 < float(m.f1) <= 1.0
     assert np.isfinite(float(m.threshold))
     assert float(m.recall) <= 1.0 and float(m.precision) <= 1.0
+
+
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-rolled spreadsheetml zip: shared strings + one sheet."""
+    import zipfile
+
+    strings, sidx = [], {}
+
+    def s(v):
+        if v not in sidx:
+            sidx[v] = len(strings)
+            strings.append(v)
+        return sidx[v]
+
+    def col(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    body = []
+    for ri, row in enumerate([header] + rows, start=1):
+        cells = []
+        for ci, v in enumerate(row):
+            ref = f"{col(ci)}{ri}"
+            if isinstance(v, str):
+                cells.append(f'<c r="{ref}" t="s"><v>{s(v)}</v></c>')
+            else:
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+        body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+    sheet = ('<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             + "".join(body) + "</sheetData></worksheet>")
+    sst = ('<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+           '2006/main">' + "".join(f"<si><t>{x}</t></si>" for x in strings)
+           + "</sst>")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_generate_database_from_xlsx(tmp_path):
+    """xlsx -> token-keyed json (utilities.py:7-46), exercised through the
+    dependency-free spreadsheetml reader."""
+    import json
+
+    from learning_embeddings_tpu.data.build_db import (
+        generate_database_from_xlsx)
+
+    xlsx = tmp_path / "master.xlsx"
+    header = ["image_name", "family", "subfamily", "genus",
+              "specific_epithet", "image_path"]
+    rows = [[f"im_{i}.jpg", "Pieridae", "Pierinae", "Pieris",
+             f"sp{i % 3}", "imgs"] for i in range(12)]
+    _write_minimal_xlsx(str(xlsx), header, rows)
+
+    db = generate_database_from_xlsx(str(xlsx), str(tmp_path / "db.json"))
+    assert len(db) == 12
+    rec = next(iter(db.values()))
+    assert rec["family"] == "Pieridae" and "token" in rec
+    on_disk = json.load(open(tmp_path / "db.json"))
+    assert len(on_disk) == 12
+    # --mini keeps 10 rows (utilities.py:16-19)
+    db_mini = generate_database_from_xlsx(str(xlsx),
+                                          str(tmp_path / "mini.json"),
+                                          mini=True)
+    assert len(db_mini) == 10
