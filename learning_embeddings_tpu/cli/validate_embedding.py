@@ -41,6 +41,12 @@ def main(args=None):
                           n_levels=int(manifest["tree_levels"]))
         level_labels = lm.leaf_paths()
         prop = float(manifest.get("prop_of_nb_edges", 0.0))
+    elif manifest.get("taxonomy") == "butterfly200":
+        from ..hierarchy import butterfly200_labelmap
+
+        lm = butterfly200_labelmap()
+        level_labels = lm.leaf_paths()
+        prop = float(manifest.get("prop_of_nb_edges", 0.9))
     else:
         lm, datasets, _ = load_ethec_data(
             manifest.get("data_dir", "/root/reference/splits/ETHEC"),
