@@ -48,6 +48,9 @@ def build_parser(default_energy: str):
     parser.add_argument("--half_half", action="store_true")
     parser.add_argument("--hide_levels", action="store_true")
     parser.add_argument("--use_rsgd", action="store_true")
+    parser.add_argument("--freeze_bn", action="store_true",
+                        help="--use_CNN only: frozen BN statistics in the "
+                             "image tower (fine-tune config; TPU perf win)")
     parser.add_argument("--lr_images", type=float, default=1e-3)
     parser.add_argument("--features_dir", type=str, default=None,
                         help="Directory with {split}.npz fc7 features from "
@@ -172,7 +175,8 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
         batch_size=args.batch_size, neg_to_pos_ratio=args.neg_to_pos_ratio,
         alpha=args.alpha,
         optimizer_labels="rsgd" if args.use_rsgd else "adam",
-        pick_per_level=args.pick_per_level, seed=args.random_seed)
+        pick_per_level=args.pick_per_level, seed=args.random_seed,
+        freeze_bn=args.freeze_bn)
     trainer = JointCNNTrainer(labelmap, graph, train_edges, pixel_loader, cfg)
     exp = ExperimentDir(args.experiment_dir, args.experiment_name)
     write_manifest(exp, manifest_from_args(args))

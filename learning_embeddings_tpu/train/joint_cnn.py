@@ -52,6 +52,8 @@ class JointCNNConfig:
     levels_to_hide: Tuple[int, ...] = ()
     seed: int = 0
     K: Optional[float] = None
+    freeze_bn: bool = False  # frozen BN stats in the image tower (no
+    #                          stat/stat-grad sweeps — see BASELINE.md)
 
 
 class JointCNNTrainer:
@@ -117,9 +119,15 @@ class JointCNNTrainer:
 
         def loss_fn(params, batch_stats, pixels,
                     pf, pt, nf, nt, pix_pf, pix_pt, pix_nf, pix_nt):
-            img_embs, mutated = self.featcnn.apply(
-                {"params": params["images"], "batch_stats": batch_stats},
-                pixels, train=True, mutable=["batch_stats"])
+            if cfg.freeze_bn:
+                img_embs = self.featcnn.apply(
+                    {"params": params["images"], "batch_stats": batch_stats},
+                    pixels, train=False)
+                mutated = {"batch_stats": batch_stats}
+            else:
+                img_embs, mutated = self.featcnn.apply(
+                    {"params": params["images"], "batch_stats": batch_stats},
+                    pixels, train=True, mutable=["batch_stats"])
             loss, (e_pos, e_neg) = margin_loss(
                 emb(params, img_embs, pf, pix_pf),
                 emb(params, img_embs, pt, pix_pt),

@@ -59,3 +59,29 @@ def test_cnn_joint_training_step_and_learning(setup):
     assert (np.linalg.norm(lab, axis=1) < 1.0).all()
     img = np.asarray(tr.image_embeddings_from_pixels(loader(np.arange(8))))
     assert (np.linalg.norm(img, axis=1) < 1.0).all()
+
+
+def test_joint_cnn_freeze_bn_step():
+    """--freeze_bn on the joint CNN tower: stats stay fixed, loss finite."""
+    import jax
+
+    lm = toy_labelmap(branching=2, n_levels=3)
+    rng = np.random.RandomState(0)
+    leaves = rng.randint(0, lm.levels[-1], 12)
+    ll = lm.leaf_paths()[leaves]
+    graph, train_edges = build_joint_graph(lm, ll)
+    bank = rng.rand(16, 32, 32, 3).astype(np.float32)
+
+    def loader(rows):
+        return bank[np.asarray(rows) % len(bank)]
+
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=32, batch_size=6,
+                         neg_to_pos_ratio=2, seed=0, freeze_bn=True)
+    tr = JointCNNTrainer(lm, graph, train_edges, loader, cfg)
+    stats0 = jax.tree_util.tree_map(np.array, tr.batch_stats)
+    loss, _, _ = tr.train_batch(train_edges[:6, 0], train_edges[:6, 1])
+    assert np.isfinite(loss)
+    for a, b in zip(jax.tree_util.tree_leaves(stats0),
+                    jax.tree_util.tree_leaves(tr.batch_stats)):
+        np.testing.assert_array_equal(a, np.asarray(b))
