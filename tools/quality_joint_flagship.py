@@ -1,0 +1,65 @@
+"""Flagship joint config quality run: curriculum level-hiding + half_half
+resampling on the REAL 723-node ETHEC taxonomy (the reference's oe_h.py
+configuration, levels_to_hide_for_epoch compressed 4x to fit a 35-epoch
+run). Appends to experiments/quality_r2/results.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.getcwd())
+
+import numpy as np
+
+from learning_embeddings_tpu.cli.common import load_ethec_data
+from learning_embeddings_tpu.losses.joint_sampling import build_joint_graph
+from learning_embeddings_tpu.train.joint import JointTrainerConfig
+from learning_embeddings_tpu.train.runner import run_joint_embedding
+
+EXP_DIR = "experiments/quality_r2"
+OUT = os.path.join(EXP_DIR, "results.json")
+
+t0 = time.time()
+lm, datasets, _ = load_ethec_data("/root/reference/splits/ETHEC")
+graph, train_edges = build_joint_graph(lm, datasets["train"].level_labels)
+rng = np.random.RandomState(0)
+D = 256
+mu = rng.randn(lm.levels[-1], D).astype(np.float32)
+
+
+def feats_for(ds):
+    return (mu[ds.leaf_labels]
+            + 0.15 * rng.randn(len(ds.leaf_labels), D)).astype(np.float32)
+
+
+cfg = JointTrainerConfig(
+    energy="hyp_cone", embedding_dim=10, feature_dim=D,
+    lr_labels=1e-3, lr_images=1e-3, batch_size=50,
+    neg_to_pos_ratio=5, alpha=0.05, optimizer_labels="adam",
+    pick_per_level=True, half_half=True,
+    # reference schedule {0:[1,2,3],20:[2,3],50:[3],100:[]} compressed 4x
+    curriculum={0: (1, 2, 3), 5: (2, 3), 12: (3,), 25: ()},
+    seed=0)
+res = run_joint_embedding(
+    lm, graph, train_edges, feats_for(datasets["train"]), cfg,
+    experiment_dir=EXP_DIR, experiment_name="joint_flagship_curriculum",
+    n_epochs=35, eval_interval=5,
+    eval_features={s: feats_for(datasets[s]) for s in ("val", "test")},
+    eval_paths={s: (datasets[s].level_labels
+                    + np.asarray(lm.level_start)[None, :])
+                for s in ("val", "test")},
+    manifest_args={"loss": "hyp_cones_loss", "hide_levels": "True",
+                   "half_half": "True"})
+flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
+flat["wall_s"] = round(time.time() - t0, 1)
+results = json.load(open(OUT)) if os.path.exists(OUT) else {}
+results["joint_flagship_curriculum"] = flat
+with open(OUT, "w") as f:
+    json.dump(results, f, indent=2)
+print("==", flat, flush=True)
