@@ -85,6 +85,10 @@ class ClassifierConfig:
     #                          running stats — the standard fine-tune config;
     #                          skips the BN stat/stat-grad reduction sweeps)
     bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
+    spatial_partition: bool = False  # shard the image H axis over 'model'
+    #   (GSPMD spatial partitioning: XLA inserts conv halo exchanges) — lets
+    #   resolutions/batches exceed one chip's activation memory; something
+    #   the reference's DataParallel cannot express at all
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -173,9 +177,17 @@ class ClassifierTrainer:
             state = jax.device_put(state, shardings)
             self._state_shardings = shardings
             self._batch_sharding = batch_sharding(mesh)
+            if cfg.spatial_partition:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._image_sharding = NamedSharding(
+                    mesh, P("data", "model"))   # (B, H, W, C): H on 'model'
+            else:
+                self._image_sharding = self._batch_sharding
         else:
             self._state_shardings = None
             self._batch_sharding = None
+            self._image_sharding = None
         self.state = state
         self.train_step = self._build_train_step()
         self.eval_step = self._build_eval_step()
@@ -242,7 +254,7 @@ class ClassifierTrainer:
             ss = self._state_shardings
             rep = replicated(self.mesh)
             return jax.jit(step,
-                           in_shardings=(ss, bs, bs, bs),
+                           in_shardings=(ss, self._image_sharding, bs, bs),
                            out_shardings=(ss, rep))
         return jax.jit(step)
 
@@ -258,7 +270,8 @@ class ClassifierTrainer:
 
         if self.mesh is not None:
             bs = self._batch_sharding
-            return jax.jit(step, in_shardings=(self._state_shardings, bs, bs, bs))
+            return jax.jit(step, in_shardings=(
+                self._state_shardings, self._image_sharding, bs, bs))
         return jax.jit(step)
 
     # ------------------------------------------------------------------
@@ -300,6 +313,9 @@ class ClassifierTrainer:
 
     # ------------------------------------------------------------------
     def put_batch(self, images, level_labels, multihot):
-        to = lambda x: (jax.device_put(x, self._batch_sharding)
-                        if self._batch_sharding is not None else jnp.asarray(x))
-        return to(images), to(level_labels), to(multihot)
+        if self._batch_sharding is None:
+            return (jnp.asarray(images), jnp.asarray(level_labels),
+                    jnp.asarray(multihot))
+        return (jax.device_put(images, self._image_sharding),
+                jax.device_put(level_labels, self._batch_sharding),
+                jax.device_put(multihot, self._batch_sharding))

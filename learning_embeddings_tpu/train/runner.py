@@ -43,16 +43,24 @@ __all__ = ["run_classifier", "run_label_embedding", "run_joint_embedding"]
 # ---------------------------------------------------------------------------
 
 def _eval_pass(trainer, pipe, order):
-    """Collect scores / labels / loss over one split."""
+    """Collect scores / labels / loss over one split. On a mesh, ragged
+    eval tails are padded to the full batch (sharding needs even shards)
+    and the padded rows are dropped from the results."""
+    bs = trainer.cfg.batch_size
     scores, labels, multihots, losses = [], [], [], []
     for batch in pipe.batches(order):
+        n = len(batch["image"])
+        if trainer.mesh is not None and n < bs:
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[-1:], bs - n, axis=0)]) for k, v in
+                batch.items()}
         b = trainer.put_batch(batch["image"], batch["level_labels"],
                               batch["multihot"])
         loss, s = trainer.eval_step(trainer.state, *b)
-        scores.append(np.asarray(s))
-        labels.append(batch["level_labels"])
-        multihots.append(batch["multihot"])
-        losses.append(float(loss) * len(batch["image"]))
+        scores.append(np.asarray(s)[:n])
+        labels.append(batch["level_labels"][:n])
+        multihots.append(batch["multihot"][:n])
+        losses.append(float(loss) * n)
     return (np.concatenate(scores), np.concatenate(labels),
             np.concatenate(multihots), sum(losses))
 
@@ -114,7 +122,7 @@ def run_classifier(
     weight_strategy: str = "inv",
     use_grayscale: bool = False,
     resume: bool = False,
-    mesh=None,
+    mesh="auto",
     manifest_args: Optional[Dict] = None,
     set_mode: str = "train",
     augment: str = "ethec",
@@ -122,6 +130,16 @@ def run_classifier(
     generate_plots: bool = False,
     load_backbone_from: Optional[str] = None,
 ):
+    if mesh == "auto":
+        # use every attached chip (pure DP) when the batch divides evenly —
+        # the TPU counterpart of the reference's unconditional DataParallel
+        # wrap (ethec_experiments.py:240)
+        from ..parallel.mesh import make_mesh
+
+        n_dev = jax.device_count()
+        mesh = (make_mesh(n_data=n_dev, n_model=1)
+                if n_dev > 1 and cfg.batch_size % n_dev == 0 else None)
+
     exp = ExperimentDir(experiment_dir, experiment_name)
     write_manifest(exp, manifest_args or {})
     logger = MetricsLogger(exp)

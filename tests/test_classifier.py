@@ -220,3 +220,31 @@ def test_head_tensor_parallel_actually_shards(lm):
     _, l_single = tr_single.train_step(tr_single.state,
                                        *tr_single.put_batch(*batch_np))
     assert abs(float(l_tp) - float(l_single)) < 1e-4
+
+
+def test_spatial_partitioning_matches_unsharded(lm):
+    """GSPMD spatial partitioning: image H axis sharded over 'model' (XLA
+    inserts the conv halo exchanges); loss must match the unsharded run.
+    A scaling axis the reference's DataParallel cannot express."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=8, seed=0,
+                           dtype=jnp.float32, spatial_partition=True)
+    mesh = make_mesh(n_data=2, n_model=4)   # H=32 -> 8 rows per device
+    tr = ClassifierTrainer(lm, cfg, mesh=mesh)
+    batch_np = make_batch(lm)
+    imgs = tr.put_batch(*batch_np)[0]
+    assert tuple(imgs.sharding.spec) == ("data", "model")
+
+    tr_single = ClassifierTrainer(
+        lm, dataclasses_replace_spatial(cfg), mesh=None)
+    _, l_sp = tr.train_step(tr.state, *tr.put_batch(*batch_np))
+    _, l_single = tr_single.train_step(tr_single.state,
+                                       *tr_single.put_batch(*batch_np))
+    assert abs(float(l_sp) - float(l_single)) < 1e-4
+
+
+def dataclasses_replace_spatial(cfg):
+    import dataclasses
+    return dataclasses.replace(cfg, spatial_partition=False)
