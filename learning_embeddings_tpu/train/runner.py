@@ -387,9 +387,12 @@ def run_joint_embedding(
     eval_paths: Optional[Dict[str, np.ndarray]] = None,
     resume: bool = False,
     manifest_args: Optional[Dict] = None,
+    mesh=None,
 ):
     """eval_features/eval_paths: per split ('val'/'test') fc7 arrays and
-    (n, L) global ancestor paths for held-out images."""
+    (n, L) global ancestor paths for held-out images. `mesh`: optional
+    ('data','model') mesh for the sharded fc7 step (edge batches over
+    'data')."""
     from .joint import JointEmbeddingTrainer
 
     exp = ExperimentDir(experiment_dir, experiment_name)
@@ -397,7 +400,7 @@ def run_joint_embedding(
     logger = MetricsLogger(exp)
     ckpt = Checkpointer(exp)
     trainer = JointEmbeddingTrainer(labelmap, graph, train_edges, features,
-                                    config)
+                                    config, mesh=mesh)
 
     start_epoch = 0
     like = {"params": trainer.params, "opt_state": trainer.opt_state}

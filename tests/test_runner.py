@@ -121,3 +121,28 @@ def test_validate_embedding_cli_roundtrip(tmp_path):
               f"--experiment_dir {tmp_path}").split())
     res = val_main(["--experiment_path", str(tmp_path / "v")])
     assert 0.0 <= res["reconstruction_f1"] <= 1.0
+
+
+def test_eval_pass_pads_ragged_tail_on_mesh(class_setup, tmp_path):
+    """On a mesh, the ragged eval tail is padded to a full batch for even
+    sharding and the padding rows are dropped from results."""
+    import jax
+
+    from learning_embeddings_tpu.data import ImagePipeline
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+    from learning_embeddings_tpu.train.classifier import ClassifierTrainer
+    from learning_embeddings_tpu.train.runner import _eval_pass
+
+    lm, datasets, cfg = class_setup
+    import dataclasses
+    cfg = dataclasses.replace(cfg, batch_size=8)
+    mesh = make_mesh(n_data=8, n_model=1)
+    trainer = ClassifierTrainer(lm, cfg, mesh=mesh)
+    import numpy as np
+    ds = datasets["val"]   # ArrayDataset: in-memory pixels, no files
+    pipe = ImagePipeline(ds, lm, "", image_size=cfg.image_size,
+                         batch_size=8, train=False, num_workers=2)
+    n = min(len(ds), 11)   # 8 + ragged 3
+    scores, ll, mh, loss = _eval_pass(trainer, pipe, np.arange(n))
+    assert scores.shape[0] == n and ll.shape[0] == n and mh.shape[0] == n
+    assert np.isfinite(loss)
