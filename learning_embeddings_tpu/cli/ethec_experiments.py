@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Train with frozen BN running statistics "
                              "(standard fine-tune config; large TPU "
                              "throughput win).")
+    parser.add_argument("--n_model", type=int, default=1,
+                        help="Mesh 'model' axis width: >1 shards the wide "
+                             "fc head (TP) and, with --spatial_partition, "
+                             "the image H axis across chips.")
+    parser.add_argument("--spatial_partition", action="store_true",
+                        help="Shard the image H axis over the 'model' axis "
+                             "(GSPMD spatial partitioning with halo "
+                             "exchange) — for resolutions/batches beyond "
+                             "one chip's activation memory.")
     parser.add_argument("--bn_stats_rows", type=int, default=0,
                         help=">0: ghost-batch BN statistics over the first "
                              "N rows (approximate, faster).")
@@ -91,6 +100,7 @@ def main(args=None):
         head_override="bottleneck2d" if args.use_2d else None,
         freeze_bn=args.freeze_bn,
         bn_stats_rows=args.bn_stats_rows,
+        spatial_partition=args.spatial_partition,
     )
     evaluator = args.evaluator if args.loss == "multi_label" else "MLEVAL"
     return run_classifier(
@@ -108,6 +118,7 @@ def main(args=None):
         set_mode=args.set_mode,
         generate_plots=args.generate_plots,
         load_backbone_from=args.load_backbone_from,
+        n_model=args.n_model,
     )
 
 

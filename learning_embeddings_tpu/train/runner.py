@@ -129,6 +129,7 @@ def run_classifier(
     use_weighted_resampler: bool = True,
     generate_plots: bool = False,
     load_backbone_from: Optional[str] = None,
+    n_model: int = 1,
 ):
     if mesh == "auto":
         # use every attached chip (pure DP) when the batch divides evenly —
@@ -137,8 +138,10 @@ def run_classifier(
         from ..parallel.mesh import make_mesh
 
         n_dev = jax.device_count()
-        mesh = (make_mesh(n_data=n_dev, n_model=1)
-                if n_dev > 1 and cfg.batch_size % n_dev == 0 else None)
+        n_model = max(1, n_model)
+        n_data = max(n_dev // n_model, 1)
+        mesh = (make_mesh(n_data=n_data, n_model=n_model)
+                if n_dev > 1 and cfg.batch_size % n_data == 0 else None)
 
     exp = ExperimentDir(experiment_dir, experiment_name)
     write_manifest(exp, manifest_args or {})
