@@ -39,6 +39,10 @@ def build_parser():
     parser.add_argument("--use_rsgd", action="store_true",
                         help="Full Riemannian SGD instead of the "
                              "conformal-rescaled adam hybrid.")
+    parser.add_argument("--use_radam", action="store_true",
+                        help="Riemannian Adam (Becigneul & Ganea) — manifold "
+                             "step with adam moments; no reference "
+                             "counterpart.")
     parser.add_argument("--load_cosine_emb", type=str, default=None,
                         help="Path to 2-D cosine embeddings .npy warm start "
                              "(order_embeddings.py:722-741)")
@@ -69,7 +73,8 @@ def main(args=None):
         batch_size=args.batch_size,
         neg_to_pos_ratio=args.neg_to_pos_ratio,
         alpha=args.alpha,
-        optimizer="rsgd" if args.use_rsgd else args.optimizer_method,
+        optimizer=("rsgd" if args.use_rsgd
+                   else "radam" if args.use_radam else args.optimizer_method),
         pick_per_level=args.pick_per_level,
         seed=args.random_seed,
         lr_steps=tuple(args.lr_step),

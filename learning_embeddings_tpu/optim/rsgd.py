@@ -22,7 +22,7 @@ embedding table); use optax.multi_transform to partition.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ from ..geometry import exp_map_x, inner_radius, lambda_x, project_annulus
 
 __all__ = [
     "riemannian_sgd",
+    "riemannian_adam",
     "scale_by_conformal_factor",
     "project_annulus_tree",
 ]
@@ -89,6 +90,54 @@ def riemannian_sgd(learning_rate, K: float) -> optax.GradientTransformation:
 
         updates = jax.tree_util.tree_map(step, updates, params)
         return updates, RiemannianSGDState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class RiemannianAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any      # first moment (tangent space, identity transport)
+    nu: Any      # second moment (componentwise, geoopt convention)
+
+
+def riemannian_adam(learning_rate, K: float, b1: float = 0.9,
+                    b2: float = 0.999,
+                    eps: float = 1e-8) -> optax.GradientTransformation:
+    """Riemannian Adam on the Poincaré ball (Bécigneul & Ganea,
+    arXiv:1810.00760, in the geoopt implementation convention): moments
+    accumulate the Riemannian gradient grad·(1/λ_x)² componentwise, the
+    update is exp_map_x(−lr·m̂/(√v̂+ε)), and the first moment is carried to
+    the new point by identity parallel transport (the standard practical
+    approximation on the ball). Goes beyond the reference's rescale+adam+
+    clip hybrid (oe_h.py:1757-1771) by taking the step along the manifold
+    instead of projecting afterwards."""
+    r0 = inner_radius(K)
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return RiemannianAdamState(count=jnp.zeros((), jnp.int32),
+                                   mu=zeros(), nu=zeros())
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("riemannian_adam requires params")
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
+        count = state.count + 1
+        rgrad = jax.tree_util.tree_map(_rescale, updates, params)
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
+                                    state.mu, rgrad)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                    state.nu, rgrad)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def step(m, v, w):
+            direction = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            return exp_map_x(w, -lr * direction, r0) - w
+
+        deltas = jax.tree_util.tree_map(step, mu, nu, params)
+        return deltas, RiemannianAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

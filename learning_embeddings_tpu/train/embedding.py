@@ -37,6 +37,7 @@ from ..losses.margin import (
 from ..models.embedder import LabelEmbedder
 from ..optim.rsgd import (
     project_annulus_tree,
+    riemannian_adam,
     riemannian_sgd,
     scale_by_conformal_factor,
 )
@@ -120,6 +121,9 @@ class EmbeddingTrainer:
             # pass the schedule through (not cfg.lr): the reference decays
             # its manual-RSGD lr at lr_step epochs (order_embeddings_h.py:775)
             return riemannian_sgd(lr, self.K)
+        if cfg.optimizer == "radam":
+            assert self.cfg.energy == "hyp_cone", "radam is for the ball"
+            return riemannian_adam(lr, self.K)
         base = optax.adam(lr) if cfg.optimizer == "adam" else optax.sgd(
             lr, momentum=0.9)
         if self.cfg.energy == "hyp_cone":

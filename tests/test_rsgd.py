@@ -124,3 +124,37 @@ def test_rsgd_lr_schedule_decays():
                                rtol=1e-6)
     # and the two steps differ (the schedule was not ignored)
     assert not np.allclose(np.asarray(up0["e"]), np.asarray(up1["e"]))
+
+
+def test_riemannian_adam_descends_and_stays_on_ball():
+    from learning_embeddings_tpu.optim.rsgd import riemannian_adam
+
+    uv = jnp.array([[0.2, 0.05], [0.05, 0.25]], jnp.float32)
+    tx = riemannian_adam(0.05, K)
+    state = tx.init(uv)
+
+    def loss(x):
+        return hyp_cone_energy(x[0:1], x[1:2])[0]
+
+    e0 = float(loss(uv))
+    for _ in range(150):
+        g = jax.grad(loss)(uv)
+        updates, state = tx.update(g, state, uv)
+        uv = optax.apply_updates(uv, updates)
+    assert float(loss(uv)) < min(1e-3, e0)
+    norms = np.linalg.norm(np.asarray(uv), axis=1)
+    assert (norms < 1.0).all() and (norms >= R0 - 1e-6).all()
+    assert int(state.count) == 150
+
+
+def test_riemannian_adam_schedule():
+    from learning_embeddings_tpu.optim.rsgd import riemannian_adam
+
+    w = {"e": jnp.array(ball_points(4, 3))}
+    g = {"e": jnp.array((0.1 * RNG.randn(4, 3)).astype(np.float32))}
+    sched = optax.piecewise_constant_schedule(0.1, {1: 0.1})
+    tx = riemannian_adam(sched, K)
+    state = tx.init(w)
+    up0, state = tx.update(g, state, w)
+    up1, state = tx.update(g, state, w)
+    assert not np.allclose(np.asarray(up0["e"]), np.asarray(up1["e"]))
