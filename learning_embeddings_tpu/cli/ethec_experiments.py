@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Train with frozen BN running statistics "
                              "(standard fine-tune config; large TPU "
                              "throughput win).")
+    parser.add_argument("--profile", type=int, default=0,
+                        help="Trace N train steps with jax.profiler into "
+                             "<exp>/stats/trace and log the top op classes.")
     parser.add_argument("--n_model", type=int, default=1,
                         help="Mesh 'model' axis width: >1 shards the wide "
                              "fc head (TP) and, with --spatial_partition, "
@@ -119,6 +122,7 @@ def main(args=None):
         generate_plots=args.generate_plots,
         load_backbone_from=args.load_backbone_from,
         n_model=args.n_model,
+        profile_steps=args.profile,
     )
 
 

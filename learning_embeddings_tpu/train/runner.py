@@ -130,6 +130,7 @@ def run_classifier(
     generate_plots: bool = False,
     load_backbone_from: Optional[str] = None,
     n_model: int = 1,
+    profile_steps: int = 0,
 ):
     if mesh == "auto":
         # use every attached chip (pure DP) when the batch divides evenly —
@@ -186,6 +187,25 @@ def run_classifier(
 
     best_score, best_epoch = -1.0, -1
     rng = np.random.RandomState(cfg.seed)
+
+    if profile_steps and set_mode == "train":
+        # jax.profiler trace of the first N train steps -> exp/stats/trace
+        from ..utils.profiling import summarize_trace, trace_steps
+
+        pb = next(iter(pipes["train"].batches(
+            np.arange(min(len(datasets["train"]), cfg.batch_size)), seed=0)))
+        b = trainer.put_batch(pb["image"], pb["level_labels"], pb["multihot"])
+        trainer.state, _ = trainer.train_step(trainer.state, *b)  # compile
+        tdir = os.path.join(exp.stats, "trace")
+
+        def one_step():
+            trainer.state, loss = trainer.train_step(trainer.state, *b)
+            return loss
+
+        trace_steps(one_step, profile_steps, tdir,
+                    sync=lambda out: float(out))
+        for name, ms, share in summarize_trace(tdir, profile_steps)[:10]:
+            logger.scalar(f"profile/{name}_ms", ms, 0)
 
     def evaluate(split, epoch, tag):
         scores, ll, mh, loss = _eval_pass(

@@ -146,3 +146,16 @@ def test_eval_pass_pads_ragged_tail_on_mesh(class_setup, tmp_path):
     scores, ll, mh, loss = _eval_pass(trainer, pipe, np.arange(n))
     assert scores.shape[0] == n and ll.shape[0] == n and mh.shape[0] == n
     assert np.isfinite(loss)
+
+
+def test_profile_flag_writes_trace(class_setup, tmp_path):
+    lm, datasets, cfg = class_setup
+    r = run_classifier(
+        lm, datasets, "", cfg, experiment_dir=str(tmp_path),
+        experiment_name="prof", n_epochs=1, eval_interval=5, n_workers=2,
+        profile_steps=2, manifest_args={}, use_weighted_resampler=False)
+    tdir = os.path.join(str(tmp_path), "prof", "stats", "trace")
+    assert os.path.isdir(tdir)
+    import glob
+    assert glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                     recursive=True)
