@@ -67,6 +67,13 @@ def test_classifier_runner_artifacts_and_resume(class_setup, tmp_path):
     lines = [json.loads(l) for l in open(
         os.path.join(exp.logs, "metrics.jsonl"))]
     assert any(r["tag"] == "train/loss" for r in lines)
+    # --set_mode test: loads best_model and re-runs the final test pass
+    before = os.path.getmtime(os.path.join(exp.stats, "predicted_scores.npy"))
+    res3 = run_classifier(lm, datasets, "", cfg,
+                          **{**kw, "set_mode": "test"})
+    after = os.path.getmtime(os.path.join(
+        res3["experiment"].stats, "predicted_scores.npy"))
+    assert after > before
 
 
 def test_embedding_runner_resume_and_threshold_payload(tmp_path):
