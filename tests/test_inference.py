@@ -75,3 +75,12 @@ def test_tsne_feature_dump(tiny_experiment):
     assert np.isfinite(F).all()
     stats = os.path.join(exp_path, "stats")
     assert os.path.exists(os.path.join(stats, "val_representations.npy"))
+
+
+def test_post_process_confusion_cli(tiny_experiment):
+    from learning_embeddings_tpu.cli.post_process import main
+
+    exp_path, _ = tiny_experiment
+    out = main(["--experiment_path", exp_path,
+                "--predicted_level", "3", "--gt_level", "1"])
+    assert os.path.exists(out)

@@ -48,3 +48,20 @@ def test_export_combines_experiments(tmp_path):
     b = {"m": [(0, 2.0), (1, 1.0)]}
     written = export_plots({"expA": a, "expB": b}, str(tmp_path), fmt="png")
     assert len(written) == 1
+
+
+def test_convert_tblog_cli(tmp_path):
+    import json
+    import os
+
+    from learning_embeddings_tpu.cli.convert_tblog import main
+
+    exp = tmp_path / "run" / "logs"
+    exp.mkdir(parents=True)
+    with open(exp / "metrics.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"tag": "train/loss", "value": 1.0 / (i + 1),
+                                "step": i}) + "\n")
+    out = main(["--experiment_path", str(tmp_path / "run"),
+                "--output_dir", str(tmp_path / "plots"), "--fmt", "png"])
+    assert out and all(os.path.exists(p) for p in out)
