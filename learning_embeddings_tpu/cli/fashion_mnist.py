@@ -51,6 +51,12 @@ def build_parser():
                              "absent (no network in this image).")
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--random_seed", type=int, default=0)
+    parser.add_argument("--freeze_bn", action="store_true",
+                        help="Frozen BN running statistics (fine-tune "
+                             "config; TPU throughput win).")
+    parser.add_argument("--bn_stats_rows", type=int, default=0)
+    parser.add_argument("--n_model", type=int, default=1)
+    parser.add_argument("--lr_decay", type=float, default=0.1)
     return parser
 
 
@@ -85,6 +91,10 @@ def main(args=None):
         image_size=args.image_size,
         batch_size=args.batch_size,
         seed=args.random_seed,
+        lr_steps=tuple(getattr(args, "lr_step", []) or []),
+        lr_decay=args.lr_decay,
+        freeze_bn=args.freeze_bn,
+        bn_stats_rows=args.bn_stats_rows,
     )
     evaluator = args.evaluator if args.loss == "multi_label" else "MLEVAL"
     return run_classifier(
@@ -101,6 +111,7 @@ def main(args=None):
         set_mode=args.set_mode,
         augment="rrc",
         use_weighted_resampler=False,
+        n_model=args.n_model,
     )
 
 
