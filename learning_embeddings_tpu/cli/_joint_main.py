@@ -141,7 +141,9 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
     import numpy as np
 
     from ..data.pipeline import augment_eval, decode_image
-    from ..train.experiment import ExperimentDir, MetricsLogger, write_manifest
+    from ..train.experiment import (Checkpointer, ExperimentDir,
+                                    MetricsLogger, write_manifest)
+    from ..train.joint import DEFAULT_CURRICULUM
     from ..train.joint_cnn import JointCNNConfig, JointCNNTrainer
     from .common import manifest_from_args
 
@@ -181,10 +183,69 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
     exp = ExperimentDir(args.experiment_dir, args.experiment_name)
     write_manifest(exp, manifest_from_args(args))
     logger = MetricsLogger(exp)
+    ckpt = Checkpointer(exp)
+    curriculum = (DEFAULT_CURRICULUM if args.hide_levels else {0: ()})
+
+    def eval_loader_for(ds):
+        def load(rows):
+            return np.stack([
+                augment_eval(decode_image(
+                    os.path.join(args.image_dir, ds.image_paths[r])), size)
+                for r in np.asarray(rows)]).astype(np.float32) / 255.0
+        return load
+
+    def split_metrics(split, max_images=512):
+        ds = datasets.get(split)
+        if ds is None or not len(ds):
+            return None
+        n = min(len(ds), max_images)
+        paths = (ds.level_labels[:n]
+                 + np.asarray(labelmap.level_start)[None, :])
+        embs = trainer.image_embeddings_for_rows(
+            np.arange(n), loader=eval_loader_for(ds),
+            batch_size=cfg.batch_size)
+        return trainer.classification_metrics(paths, embs)
+
     rng = np.random.RandomState(args.random_seed)
+    best_f1, best_epoch = -1.0, -1
     for epoch in range(args.n_epochs):
+        for start in sorted(curriculum):
+            if epoch == start:
+                trainer.set_levels_to_hide(curriculum[start])
         stats = trainer.train_epoch(epoch, rng)
         logger.scalars("train", stats, epoch)
         print(f"epoch {epoch}: {stats}")
+        if epoch % args.eval_interval == 0:
+            m = split_metrics("val")
+            if m is not None:
+                logger.scalars("val", {k: v for k, v in m.items()
+                                       if isinstance(v, float)}, epoch)
+                if m["micro_f1"] > best_f1:
+                    best_f1, best_epoch = m["micro_f1"], epoch
+                    ckpt.save("best_model", {
+                        "params": trainer.params,
+                        "batch_stats": trainer.batch_stats,
+                        "opt_state": trainer.opt_state})
+        ckpt.save(epoch, {"params": trainer.params,
+                          "batch_stats": trainer.batch_stats,
+                          "opt_state": trainer.opt_state})
+    # best-model reload + final test pass + reconstruction (oe_h.py:
+    # 1959-1965, 2180-2247)
+    if best_epoch >= 0:
+        payload = ckpt.load("best_model", {
+            "params": trainer.params, "batch_stats": trainer.batch_stats,
+            "opt_state": trainer.opt_state})
+        trainer.params = payload["params"]
+        trainer.batch_stats = payload["batch_stats"]
+    results = {"best_val_micro_f1": best_f1, "best_epoch": best_epoch}
+    mtest = split_metrics("test")
+    if mtest is not None:
+        results["test_metrics"] = {k: v for k, v in mtest.items()
+                                   if isinstance(v, float)}
+        logger.scalars("test", results["test_metrics"], args.n_epochs)
+    rec = trainer.reconstruction()
+    results["reconstruction_f1"] = float(rec.f1)
     logger.close()
-    return {"trainer": trainer, "experiment": exp}
+    print({k: v for k, v in results.items()
+           if isinstance(v, (int, float))})
+    return {**results, "trainer": trainer, "experiment": exp}

@@ -200,8 +200,30 @@ class JointCNNTrainer:
             self.prepare_batch(pos_from, pos_to))
         return float(loss), e_pos, e_neg
 
+    def set_levels_to_hide(self, levels: Tuple[int, ...]) -> None:
+        """Curriculum stage switch (reference levels_to_hide_for_epoch,
+        oe_h.py:1534-1572): hidden levels are excluded from negative
+        sampling AND their edges are dropped from the epoch."""
+        self.cfg = dataclasses.replace(self.cfg,
+                                       levels_to_hide=tuple(levels))
+
+    def _stage_edges(self) -> np.ndarray:
+        hidden = self.cfg.levels_to_hide
+        if not hidden:
+            return self.train_edges
+        g = self.graph
+        n_levels = len(g.level_start)
+        lvl_of = np.full(g.n_labels + g.n_images, n_levels, np.int32)
+        for l in range(n_levels):
+            lvl_of[g.level_start[l]:g.level_stop[l]] = l
+        e = self.train_edges
+        keep = (~np.isin(lvl_of[e[:, 0]], hidden)
+                & ~np.isin(lvl_of[e[:, 1]], hidden))
+        return e[keep] if keep.any() else self.train_edges
+
     def train_epoch(self, epoch: int, rng: np.random.RandomState):
-        edges = self.train_edges[rng.permutation(len(self.train_edges))]
+        stage = self._stage_edges()
+        edges = stage[rng.permutation(len(stage))]
         bs = self.cfg.batch_size
         if len(edges) < bs:
             edges = np.resize(edges, (bs, 2))
@@ -212,6 +234,40 @@ class JointCNNTrainer:
             loss, _, _ = self.train_batch(e[:, 0], e[:, 1])
             total += loss
         return {"loss": total}
+
+    # ------------------------------------------------------------------
+    # evaluation (reference joint eval: calculate_classification_metrics +
+    # check_graph_embedding, oe_h.py:1971-2247)
+    # ------------------------------------------------------------------
+    def image_embeddings_for_rows(self, rows, loader=None,
+                                  batch_size: int = 32) -> np.ndarray:
+        """Embed arbitrary image rows through the CNN tower in batches."""
+        loader = loader or self.pixel_loader
+        rows = np.asarray(rows)
+        out = []
+        for i in range(0, len(rows), batch_size):
+            px = loader(rows[i:i + batch_size])
+            out.append(np.asarray(self.image_embeddings_from_pixels(px)))
+        return np.concatenate(out)
+
+    def classification_metrics(self, img_paths_global, image_embs,
+                               ks=(1, 3, 5)):
+        """hit@k / m-F1 of ranking labels per image by energy."""
+        from ..eval.ranking import joint_classification_metrics
+
+        return joint_classification_metrics(
+            self.label_embeddings(), image_embs,
+            np.asarray(img_paths_global), self.labelmap,
+            energy=self.cfg.energy, ks=ks, **self._energy_kw)
+
+    def reconstruction(self, threshold=None):
+        from ..eval.reconstruction import reconstruction_metrics
+
+        nl = self.labelmap.n_classes
+        return reconstruction_metrics(
+            self.label_embeddings()[:nl],
+            self.graph.label_closure[:nl, :nl],
+            energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
 
     def image_embeddings_from_pixels(self, pixels):
         return self.featcnn.apply(

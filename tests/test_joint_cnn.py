@@ -85,3 +85,44 @@ def test_joint_cnn_freeze_bn_step():
     for a, b in zip(jax.tree_util.tree_leaves(stats0),
                     jax.tree_util.tree_leaves(tr.batch_stats)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_use_cnn_cli_evaluates_and_checkpoints(tmp_path):
+    """--use_CNN end-to-end: curriculum applied, val metrics tracked, best
+    checkpoint saved, final test metrics + reconstruction returned."""
+    import json as _json
+    import os
+
+    import cv2
+
+    from learning_embeddings_tpu.cli.oe_h import main
+
+    rng = np.random.RandomState(0)
+    data_dir = tmp_path / "splits"
+    img_dir = tmp_path / "imgs"
+    os.makedirs(data_dir)
+    os.makedirs(img_dir / "d")
+    recs = {}
+    for t in range(24):
+        name = f"im_{t}.jpg"
+        cv2.imwrite(str(img_dir / "d" / name),
+                    rng.randint(0, 255, (40, 40, 3), np.uint8))
+        leaf = t % 3
+        recs[f"tok{t}"] = {
+            "token": f"tok{t}", "image_path": "d", "image_name": name,
+            "family": f"F{leaf % 2}", "subfamily": f"S{leaf % 2}",
+            "genus": f"G{leaf % 2}", "specific_epithet": f"e{leaf}"}
+    with open(data_dir / "val.json", "w") as f:
+        _json.dump(recs, f)
+
+    r = main((f"--set_mode train --use_CNN --hide_levels --loss hyp_cones_loss "
+              f"--data_dir {data_dir} --image_dir {img_dir} "
+              f"--model resnet18 --image_size 32 --embedding_dim 4 "
+              f"--n_epochs 2 --batch_size 6 --neg_to_pos_ratio 2 "
+              f"--eval_interval 1 --experiment_name jcnn "
+              f"--experiment_dir {tmp_path / 'exp'}").split())
+    assert "reconstruction_f1" in r and np.isfinite(r["reconstruction_f1"])
+    assert r["best_epoch"] >= 0
+    assert "micro_f1" in r["test_metrics"]
+    weights = os.listdir(r["experiment"].weights)
+    assert "best_model" in weights
