@@ -48,6 +48,9 @@ def build_parser(default_energy: str):
     parser.add_argument("--half_half", action="store_true")
     parser.add_argument("--hide_levels", action="store_true")
     parser.add_argument("--use_rsgd", action="store_true")
+    parser.add_argument("--use_radam", action="store_true",
+                        help="Riemannian Adam for the label table "
+                             "(hyperbolic energies).")
     parser.add_argument("--freeze_bn", action="store_true",
                         help="--use_CNN only: frozen BN statistics in the "
                              "image tower (fine-tune config; TPU perf win)")
@@ -113,7 +116,8 @@ def joint_main(args, default_energy: str):
         batch_size=args.batch_size,
         neg_to_pos_ratio=args.neg_to_pos_ratio,
         alpha=args.alpha,
-        optimizer_labels="rsgd" if args.use_rsgd else "adam",
+        optimizer_labels=("rsgd" if args.use_rsgd
+                          else "radam" if args.use_radam else "adam"),
         pick_per_level=args.pick_per_level,
         hide_levels=args.hide_levels,
         half_half=args.half_half,
@@ -176,7 +180,8 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
         lr_labels=args.lr, lr_images=args.lr_images,
         batch_size=args.batch_size, neg_to_pos_ratio=args.neg_to_pos_ratio,
         alpha=args.alpha,
-        optimizer_labels="rsgd" if args.use_rsgd else "adam",
+        optimizer_labels=("rsgd" if args.use_rsgd
+                          else "radam" if args.use_radam else "adam"),
         pick_per_level=args.pick_per_level, seed=args.random_seed,
         freeze_bn=args.freeze_bn)
     trainer = JointCNNTrainer(labelmap, graph, train_edges, pixel_loader, cfg)

@@ -41,6 +41,7 @@ from ..losses.margin import margin_loss
 from ..models.embedder import FeatNet, LabelEmbedder
 from ..optim.rsgd import (
     project_annulus_tree,
+    riemannian_adam,
     riemannian_sgd,
     scale_by_conformal_factor,
 )
@@ -61,7 +62,7 @@ class JointTrainerConfig:
     batch_size: int = 10
     neg_to_pos_ratio: int = 5
     alpha: float = 0.05
-    optimizer_labels: str = "adam"      # adam | rsgd
+    optimizer_labels: str = "adam"      # adam | rsgd | radam
     pick_per_level: bool = True
     hide_levels: bool = False
     curriculum: Optional[Dict[int, Tuple[int, ...]]] = None
@@ -118,6 +119,9 @@ class JointEmbeddingTrainer:
         cfg = self.cfg
         if cfg.optimizer_labels == "rsgd":
             label_tx = riemannian_sgd(cfg.lr_labels, self.K)
+        elif (cfg.optimizer_labels == "radam"
+              and self.cfg.energy == "hyp_cone"):
+            label_tx = riemannian_adam(cfg.lr_labels, self.K)
         elif self.cfg.energy == "hyp_cone":
             label_tx = optax.chain(scale_by_conformal_factor(),
                                    optax.adam(cfg.lr_labels))

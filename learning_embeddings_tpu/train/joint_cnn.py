@@ -32,7 +32,8 @@ import optax
 from ..losses.joint_sampling import JointGraph, sample_joint_negatives_np
 from ..losses.margin import margin_loss
 from ..models.embedder import FeatCNN, LabelEmbedder
-from ..optim.rsgd import project_annulus_tree, riemannian_sgd, scale_by_conformal_factor
+from ..optim.rsgd import (project_annulus_tree, riemannian_adam,
+                          riemannian_sgd, scale_by_conformal_factor)
 from .joint import DEFAULT_K, JOINT_MODE
 
 
@@ -93,6 +94,8 @@ class JointCNNTrainer:
         cfg = self.cfg
         if cfg.optimizer_labels == "rsgd":
             label_tx = riemannian_sgd(cfg.lr_labels, self.K)
+        elif cfg.optimizer_labels == "radam" and cfg.energy == "hyp_cone":
+            label_tx = riemannian_adam(cfg.lr_labels, self.K)
         elif cfg.energy == "hyp_cone":
             label_tx = optax.chain(scale_by_conformal_factor(),
                                    optax.adam(cfg.lr_labels))
