@@ -44,6 +44,7 @@ class HierarchicalCNN(nn.Module):
     remat: bool = False
     stem: str = "conv7"
     bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
+    bn_impl: str = "flax"    # 'pallas' = fused-reduction BN (ops.bn_pallas)
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture_bottleneck: bool = False):
@@ -51,7 +52,8 @@ class HierarchicalCNN(nn.Module):
         trunk = BACKBONES[self.backbone](
             num_classes=None, dtype=self.dtype, features_only=True,
             remat=self.remat, stem=self.stem,
-            bn_stats_rows=self.bn_stats_rows, name="trunk")
+            bn_stats_rows=self.bn_stats_rows, bn_impl=self.bn_impl,
+            name="trunk")
         feats = trunk(x, train=train)                     # (B, F) f32
 
         if self.head == "multi_head":

@@ -170,6 +170,9 @@ class ResNet(nn.Module):
     stem: str = "conv7"
     #: >0 = ghost-batch BN statistics over the first N rows (GhostBatchNorm)
     bn_stats_rows: int = 0
+    #: 'flax' | 'pallas' — pallas = fused-reduction train-mode BN
+    #: (ops.bn_pallas; exact same math, single-read statistics)
+    bn_impl: str = "flax"
 
     @property
     def feature_dim(self) -> int:
@@ -183,6 +186,12 @@ class ResNet(nn.Module):
                 GhostBatchNorm, use_running_average=not train, momentum=0.9,
                 epsilon=1e-5, dtype=self.dtype,
                 stats_rows=self.bn_stats_rows)
+        elif self.bn_impl == "pallas":
+            from ..ops import PallasBatchNorm
+
+            norm = functools.partial(
+                PallasBatchNorm, use_running_average=not train, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype)
         else:
             norm = functools.partial(
                 nn.BatchNorm, use_running_average=not train, momentum=0.9,
@@ -273,6 +282,7 @@ class AlexNet(nn.Module):
     remat: bool = False   # accepted for API uniformity; unused
     stem: str = "conv7"   # accepted for API uniformity; unused
     bn_stats_rows: int = 0  # accepted for API uniformity; no BN in alexnet
+    bn_impl: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -309,6 +319,7 @@ class VGG11BN(nn.Module):
     remat: bool = False   # accepted for API uniformity; unused
     stem: str = "conv7"   # accepted for API uniformity; unused
     bn_stats_rows: int = 0
+    bn_impl: str = "flax"
 
     CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
 

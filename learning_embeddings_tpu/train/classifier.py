@@ -85,6 +85,7 @@ class ClassifierConfig:
     #                          running stats — the standard fine-tune config;
     #                          skips the BN stat/stat-grad reduction sweeps)
     bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
+    bn_impl: str = "flax"    # 'pallas' = fused-reduction train-mode BN
     spatial_partition: bool = False  # shard the image H axis over 'model'
     #   (GSPMD spatial partitioning: XLA inserts conv halo exchanges) — lets
     #   resolutions/batches exceed one chip's activation memory; something
@@ -144,6 +145,7 @@ class ClassifierTrainer:
             remat=cfg.remat,
             stem=cfg.stem,
             bn_stats_rows=cfg.bn_stats_rows,
+            bn_impl=cfg.bn_impl,
         )
         self.criterion = make_criterion(labelmap, cfg)
         self.n_channels = 1 if grayscale else 3
