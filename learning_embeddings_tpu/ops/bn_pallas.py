@@ -34,11 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["batch_norm_train", "PallasBatchNorm"]
 
 
-def _row_block(R: int, C: int, budget_bytes: int = 4 << 20) -> int:
+def _row_block(R: int, C: int, budget_bytes: int = 2 << 20) -> int:
     """Largest multiple-of-16 divisor of R within the VMEM budget (two
     bf16 input blocks must fit comfortably); 0 if none exists. Runs at
-    trace time only (static shapes)."""
-    cap = max(budget_bytes // max(2 * C * 2, 1), 16)
+    trace time only (static shapes). C is padded to the 128-lane tile —
+    a (rb, 64) bf16 block really occupies (rb, 128) of VMEM — and Pallas
+    double-buffers blocks, hence the conservative budget."""
+    eff_c = max(C, 128)
+    cap = max(budget_bytes // max(2 * eff_c * 2, 1), 16)
     start = (min(R, cap) // 16) * 16
     for rb in range(start, 15, -16):
         if R % rb == 0:
