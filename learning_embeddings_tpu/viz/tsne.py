@@ -1,7 +1,8 @@
 """t-SNE feature visualization — counterpart of `network/viz_tsne.py`
 (:15-104): 3-D t-SNE of penultimate features, one figure per taxonomy
-level (the reference renders rotating mp4s; we save multi-angle PNGs —
-no ffmpeg in this image)."""
+level. The reference renders rotating mp4s (ffmpeg); we save multi-angle
+PNGs and, with ``animate=True``, a rotating GIF per level via matplotlib's
+PillowWriter (no ffmpeg needed)."""
 
 from __future__ import annotations
 
@@ -14,7 +15,9 @@ __all__ = ["render_tsne"]
 
 def render_tsne(features: np.ndarray, level_labels: np.ndarray, labelmap,
                 out_dir: str, n_components: int = 3,
-                angles=(0, 60, 120), max_points: int = 2000) -> None:
+                angles=(0, 60, 120), max_points: int = 2000,
+                animate: bool = False, n_frames: int = 36,
+                fps: int = 10) -> None:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -38,3 +41,22 @@ def render_tsne(features: np.ndarray, level_labels: np.ndarray, labelmap,
         fig.savefig(os.path.join(out_dir, f"tsne_level{l}.png"),
                     bbox_inches="tight", dpi=110)
         plt.close(fig)
+        if animate:
+            # rotating-view animation (reference viz_tsne.py mp4; GIF here)
+            from matplotlib import animation
+
+            fig = plt.figure(figsize=(5, 5))
+            ax = fig.add_subplot(projection="3d")
+            ax.scatter(emb[:, 0], emb[:, 1], emb[:, 2], c=labels,
+                       cmap="tab20", s=6, alpha=0.8)
+            ax.set_title(f"level {l}")
+
+            def turn(frame, ax=ax):
+                ax.view_init(elev=20, azim=frame * 360.0 / n_frames)
+                return ()
+
+            anim = animation.FuncAnimation(fig, turn, frames=n_frames,
+                                           blit=False)
+            anim.save(os.path.join(out_dir, f"tsne_level{l}.gif"),
+                      writer=animation.PillowWriter(fps=fps))
+            plt.close(fig)

@@ -136,3 +136,17 @@ def test_hierarchical_match_counts():
     m = hierarchical_match_counts(scores, ll, lm)
     assert m["exact_match"] == 1
     assert m["per_level_match"] == [2, 1]
+
+
+def test_render_tsne_with_animation(tmp_path):
+    from learning_embeddings_tpu.hierarchy import toy_labelmap
+    from learning_embeddings_tpu.viz.tsne import render_tsne
+
+    lm = toy_labelmap(2, 2)
+    rng = np.random.RandomState(0)
+    F = rng.randn(60, 16).astype(np.float32)
+    L = rng.randint(0, 2, (60, 2))
+    render_tsne(F, L, lm, str(tmp_path), animate=True, n_frames=4, fps=4)
+    for l in range(2):
+        assert (tmp_path / f"tsne_level{l}.png").exists()
+        assert (tmp_path / f"tsne_level{l}.gif").exists()
