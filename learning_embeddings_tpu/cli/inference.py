@@ -57,7 +57,8 @@ def rebuild_from_manifest(experiment_path: str):
 
 
 def run_tsne(experiment_path: str, image_dir: str, splits=("val", "test"),
-             max_samples: int = 2000, render: bool = True):
+             max_samples: int = 2000, render: bool = True,
+             animate: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +90,8 @@ def run_tsne(experiment_path: str, image_dir: str, splits=("val", "test"),
             from ..viz.tsne import render_tsne
 
             render_tsne(F, L, labelmap,
-                        os.path.join(exp.stats, f"tsne_{split}"))
+                        os.path.join(exp.stats, f"tsne_{split}"),
+                        animate=animate)
     return outputs
 
 
@@ -184,9 +186,13 @@ def main(args=None):
                         help="[lime, tsne] (lime = built-in occlusion)")
     parser.add_argument("--split", type=str, default="test")
     parser.add_argument("--n_samples", type=int, default=4)
+    parser.add_argument("--animate", action="store_true",
+                        help="tsne mode: rotating GIF per level (the "
+                             "reference's mp4 counterpart)")
     args = parser.parse_args(args)
     if args.mode == "tsne":
-        run_tsne(args.experiment_path, args.image_dir, splits=(args.split,))
+        run_tsne(args.experiment_path, args.image_dir, splits=(args.split,),
+                 animate=args.animate)
     else:
         run_occlusion(args.experiment_path, args.image_dir, split=args.split,
                       n_samples=args.n_samples)
