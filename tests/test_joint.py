@@ -126,3 +126,24 @@ def test_half_half_resampling(setup):
     order = tr._epoch_order(train_edges, np.random.RandomState(0))
     frac_img = (order[:, 1] >= graph.n_labels).mean()
     assert 0.45 < frac_img < 0.55
+
+
+def test_joint_graph_cache_roundtrip(tmp_path):
+    """--load_G_from_disk cache contract (reference gpickle +
+    neg_adjacency.npy, oe_h.py:2250-2297): save -> load yields identical
+    graph arrays and train edges."""
+    from learning_embeddings_tpu.losses.joint_sampling import (
+        build_joint_graph, load_joint_graph, save_joint_graph)
+
+    lm = toy_labelmap(branching=2, n_levels=3)
+    rng = np.random.RandomState(0)
+    ll = lm.leaf_paths()[rng.randint(0, lm.levels[-1], 20)]
+    graph, edges = build_joint_graph(lm, ll)
+    path = str(tmp_path / "joint_graph.npz")
+    save_joint_graph(path, graph, edges)
+    g2, e2 = load_joint_graph(path)
+    np.testing.assert_array_equal(graph.label_closure, g2.label_closure)
+    np.testing.assert_array_equal(graph.image_paths_global,
+                                  g2.image_paths_global)
+    np.testing.assert_array_equal(graph.level_start, g2.level_start)
+    np.testing.assert_array_equal(edges, e2)
