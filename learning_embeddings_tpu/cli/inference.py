@@ -6,10 +6,14 @@
 * `--mode tsne`: dumps penultimate trunk features per split
   (`{split}_representations.npy`, the forward-hook dump of
   inference.py:206-246) and renders a 3-D t-SNE per level,
-* `--mode lime`: per-level explanation maps. The reference uses the `lime`
-  package (unavailable here); we ship a built-in occlusion explainer —
-  slide a gray patch over the image and record the per-level score drop —
-  which yields the same kind of per-level saliency masks + markdown report.
+* `--mode lime`: per-sample × per-level LIME explanations
+  (inference.py:248-362) — SLIC superpixels + mask perturbations +
+  weighted ridge surrogate, implemented from scratch in `viz/lime.py`
+  (the `lime` package is unavailable here); reference call contract kept:
+  hide_color=0, num_samples=100, top-5 labels × top-10 features, markdown
+  table with green/red predicted labels,
+* `--mode occlusion`: a simpler built-in occlusion explainer — slide a
+  gray patch over the image and record the per-level score drop.
 """
 
 from __future__ import annotations
@@ -108,6 +112,93 @@ def _trunk_apply(trainer, images):
         images, train=False)
 
 
+def run_lime(experiment_path: str, image_dir: str, split: str = "test",
+             n_samples: int = 2, num_perturb: int = 100,
+             n_slic_segments: int = 48, top_labels: int = 5,
+             num_features: int = 10):
+    """Per-sample × per-level LIME explanations (inference.py:248-362).
+
+    The reference's per-level `batch_predict` softmaxes the level slice of
+    the classifier logits; `explain_instance(hide_color=0, num_samples=100,
+    top_labels=5)` then `get_image_and_mask(positive_only=False,
+    num_features=10)` per top label, rendered with boundary marks into a
+    markdown table whose labels are green when the prediction matches the
+    ground truth and red otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..viz.lime import (lime_explain, overlay_mask, slic_segments,
+                            top_feature_mask)
+
+    labelmap, datasets, trainer, manifest, exp, gray = \
+        rebuild_from_manifest(experiment_path)
+    ds = datasets[split]
+    pipe = ImagePipeline(ds, labelmap, image_dir,
+                         image_size=trainer.cfg.image_size, batch_size=1,
+                         train=False, grayscale=gray, num_workers=2)
+
+    @jax.jit
+    def logits_fn(images):
+        return trainer.model.apply(
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats}, images, train=False)
+
+    out_dir = os.path.join(exp.stats, f"lime_{split}")
+    summ = Summarize(out_dir)
+    summ.make_heading(f"LIME explanations — {split}", 1)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+
+    starts = np.asarray(labelmap.level_start)
+    stops = starts + np.asarray(labelmap.levels)
+    for i, batch in enumerate(pipe.batches(np.arange(min(n_samples,
+                                                         len(ds))))):
+        img = batch["image"][0]                      # (H, W, C) normalized
+        ll = batch["level_labels"][0]
+        segments = slic_segments(img, n_segments=n_slic_segments)
+        disp = img - img.min()
+        disp = disp / max(float(disp.max()), 1e-6)   # [0,1] for rendering
+
+        summ.make_heading(
+            f"Data ID: {ds.image_paths[batch['index'][0]]}", 2)
+        summ.make_heading("Ground truth", 3)
+        for l in range(labelmap.n_levels):
+            summ.make_text(f"{int(ll[l])} "
+                           f"{labelmap.ix_to_name[l][int(ll[l])]}")
+        summ.make_hrule()
+
+        for l in range(labelmap.n_levels):
+            a, b = int(starts[l]), int(stops[l])
+
+            def predict(images, a=a, b=b):
+                raw = logits_fn(jnp.asarray(images))
+                return np.asarray(jax.nn.softmax(raw[:, a:b], axis=-1))
+
+            coefs, probs0 = lime_explain(
+                img, predict, segments, num_samples=num_perturb,
+                hide_color=0.0, rng=np.random.RandomState(0))
+            top = np.argsort(-probs0)[:top_labels]
+            cells, x_labels = [], []
+            for rank, c in enumerate(top):
+                mask = top_feature_mask(coefs[c], segments,
+                                        num_features=num_features)
+                png = f"{i}_{l}_{rank}.png"
+                mpimg.imsave(os.path.join(out_dir, png),
+                             overlay_mask(disp, segments, mask))
+                cells.append(f"![x]({png})")
+                color = "green" if int(c) == int(ll[l]) else "red"
+                x_labels.append(
+                    f'<span style="color:{color}">Predicted: {int(c)} '
+                    f'{labelmap.ix_to_name[l][int(c)]}</span>')
+            summ.make_heading(
+                f"{labelmap.level_names[l]} - Top {len(top)}", 3)
+            summ.make_table(data=[cells], x_labels=x_labels)
+    print(f"wrote {out_dir}")
+    return out_dir
+
+
 def run_occlusion(experiment_path: str, image_dir: str, split: str = "test",
                   n_samples: int = 4, patch: int = 56, stride: int = 28):
     """Occlusion saliency per level (LIME-equivalent explainer)."""
@@ -183,7 +274,7 @@ def main(args=None):
                         help="<experiment_dir>/<experiment_name>")
     parser.add_argument("--image_dir", type=str, required=True)
     parser.add_argument("--mode", type=str, required=True,
-                        help="[lime, tsne] (lime = built-in occlusion)")
+                        help="[lime, occlusion, tsne]")
     parser.add_argument("--split", type=str, default="test")
     parser.add_argument("--n_samples", type=int, default=4)
     parser.add_argument("--animate", action="store_true",
@@ -193,6 +284,9 @@ def main(args=None):
     if args.mode == "tsne":
         run_tsne(args.experiment_path, args.image_dir, splits=(args.split,),
                  animate=args.animate)
+    elif args.mode == "lime":
+        run_lime(args.experiment_path, args.image_dir, split=args.split,
+                 n_samples=args.n_samples)
     else:
         run_occlusion(args.experiment_path, args.image_dir, split=args.split,
                       n_samples=args.n_samples)

@@ -63,6 +63,25 @@ def test_occlusion_explainer_outputs(tiny_experiment):
     assert "Occlusion explanations" in md and "sample_1.png" in md
 
 
+def test_lime_explainer_outputs(tiny_experiment):
+    from learning_embeddings_tpu.cli.inference import run_lime
+
+    exp_path, img_dir = tiny_experiment
+    out_dir = run_lime(exp_path, img_dir, split="test", n_samples=1,
+                       num_perturb=40, n_slic_segments=12)
+    assert os.path.exists(os.path.join(out_dir, "summary.md"))
+    md = open(os.path.join(out_dir, "summary.md")).read()
+    assert "LIME explanations" in md and "Ground truth" in md
+    assert "Predicted:" in md and "color:" in md
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    # 1 sample x 4 levels x top-k labels (k <= 5, bounded by level size)
+    assert len(pngs) >= 4
+    for f in pngs:
+        import matplotlib.image as mpimg
+        arr = mpimg.imread(os.path.join(out_dir, f))
+        assert np.isfinite(arr).all()
+
+
 def test_tsne_feature_dump(tiny_experiment):
     from learning_embeddings_tpu.cli.inference import run_tsne
 
