@@ -45,6 +45,11 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--data_dir", type=str, default=DEFAULT_DATA_DIR,
                         help="Directory holding train/val/test.json splits.")
     parser.add_argument("--random_seed", type=int, default=0)
+    parser.add_argument("--f32_input", action="store_true",
+                        help="Transfer float32 pixels host->device instead "
+                             "of the default uint8-with-on-device-scale "
+                             "(4x less transfer bandwidth, numerically "
+                             "identical).")
 
 
 def load_ethec_data(data_dir: str, debug: bool = False,

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(GSPMD spatial partitioning with halo "
                              "exchange) — for resolutions/batches beyond "
                              "one chip's activation memory.")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Accumulate gradients over N micro-batches "
+                             "per optimizer step (effective batch = "
+                             "N x batch_size without the memory).")
     parser.add_argument("--bn_stats_rows", type=int, default=0,
                         help=">0: ghost-batch BN statistics over the first "
                              "N rows (approximate, faster).")
@@ -104,6 +108,7 @@ def main(args=None):
         freeze_bn=args.freeze_bn,
         bn_stats_rows=args.bn_stats_rows,
         spatial_partition=args.spatial_partition,
+        grad_accum=args.grad_accum,
     )
     evaluator = args.evaluator if args.loss == "multi_label" else "MLEVAL"
     return run_classifier(
@@ -122,6 +127,7 @@ def main(args=None):
         generate_plots=args.generate_plots,
         load_backbone_from=args.load_backbone_from,
         n_model=args.n_model,
+        input_dtype="float32" if args.f32_input else "uint8",
         profile_steps=args.profile,
     )
 

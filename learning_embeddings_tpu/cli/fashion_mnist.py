@@ -112,6 +112,7 @@ def main(args=None):
         augment="rrc",
         use_weighted_resampler=False,
         n_model=args.n_model,
+        input_dtype="float32" if args.f32_input else "uint8",
     )
 
 

@@ -43,13 +43,26 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            return None
+            if lib.le_version() < 2:          # stale build: rebuild in place
+                raise OSError("stale native loader")
+        except (OSError, AttributeError):
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         lib.le_load_augment_batch.restype = ctypes.c_int
         lib.le_load_augment_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.le_load_augment_batch_u8.restype = ctypes.c_int
+        lib.le_load_augment_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
         ]
         lib.le_resize_bilinear.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -66,21 +79,28 @@ def available() -> bool:
 
 def load_augment_batch(paths: Sequence[str], size: int, *, pad: int = 64,
                        train: bool = True, grayscale: bool = False,
-                       seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """(batch (N, S, S, C) float32 in [0,1], status (N,) int32 — 0 = ok)."""
+                       seed: int = 0,
+                       out_dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """(batch (N, S, S, C), status (N,) int32 — 0 = ok).
+
+    out_dtype float32 → [0,1]-normalized; uint8 → raw pixels (the
+    TPU-first transfer format: 4x less host→device bandwidth, the /255
+    runs on device and fuses into the first conv)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable (build failed)")
     n = len(paths)
     c = 1 if grayscale else 3
-    out = np.empty((n, size, size, c), np.float32)
+    u8 = np.dtype(out_dtype) == np.uint8
+    out = np.empty((n, size, size, c), np.uint8 if u8 else np.float32)
     status = np.empty((n,), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.le_load_augment_batch(
-        arr, n, size, pad, int(train), int(grayscale),
-        ctypes.c_uint64(seed),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    fn = lib.le_load_augment_batch_u8 if u8 else lib.le_load_augment_batch
+    fn(arr, n, size, pad, int(train), int(grayscale),
+       ctypes.c_uint64(seed),
+       out.ctypes.data_as(ctypes.POINTER(
+           ctypes.c_uint8 if u8 else ctypes.c_float)),
+       status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return out, status
 
 

@@ -86,10 +86,24 @@ class ClassifierConfig:
     #                          skips the BN stat/stat-grad reduction sweeps)
     bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
     bn_impl: str = "flax"    # 'pallas' = fused-reduction train-mode BN
+    grad_accum: int = 1  # accumulate gradients over N micro-batches before
+    #   each optimizer update (optax.MultiSteps) — effective batch
+    #   N × batch_size without the activation memory; a scaling capability
+    #   the reference's DataParallel has no counterpart for
     spatial_partition: bool = False  # shard the image H axis over 'model'
     #   (GSPMD spatial partitioning: XLA inserts conv halo exchanges) — lets
     #   resolutions/batches exceed one chip's activation memory; something
     #   the reference's DataParallel cannot express at all
+
+
+def _device_scale(images):
+    """uint8 batches (the low-bandwidth transfer format,
+    ImagePipeline(out_dtype='uint8')) scale to [0,1] on device; XLA fuses
+    the convert into the first conv. float inputs pass through — the
+    dtype check is trace-time, so each path compiles cleanly."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) * (1.0 / 255.0)
+    return images
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -200,8 +214,10 @@ class ClassifierTrainer:
         if cfg.lr_steps:
             # reference MultiStepLR steps once per EPOCH (experiment.py:
             # 158-190) while optax boundaries count optimizer steps —
-            # convert via steps_per_epoch (set by run_classifier)
-            spe = max(int(cfg.steps_per_epoch), 1)
+            # convert via steps_per_epoch (set by run_classifier); under
+            # grad accumulation the inner optimizer only sees every k-th
+            # micro-step, so the boundary scale shrinks accordingly
+            spe = max(int(cfg.steps_per_epoch) // max(cfg.grad_accum, 1), 1)
             boundaries = {int(b) * spe: cfg.lr_decay for b in cfg.lr_steps}
             schedule = optax.piecewise_constant_schedule(cfg.lr, boundaries)
         else:
@@ -216,8 +232,10 @@ class ClassifierTrainer:
                     lambda path, _: "frozen"
                     if str(getattr(path[0], "key", path[0])) == "trunk"
                     else "train", params)
-            return optax.multi_transform(
+            base = optax.multi_transform(
                 {"train": base, "frozen": optax.set_to_zero()}, label)
+        if cfg.grad_accum > 1:
+            base = optax.MultiSteps(base, every_k_schedule=cfg.grad_accum)
         return base
 
     # ------------------------------------------------------------------
@@ -230,14 +248,15 @@ class ClassifierTrainer:
             def loss_fn(params, batch_stats, images, level_labels, multihot):
                 raw = model.apply(
                     {"params": params, "batch_stats": batch_stats},
-                    images, train=False)
+                    _device_scale(images), train=False)
                 loss, _ = criterion(raw, level_labels, multihot)
                 return loss, batch_stats
         else:
             def loss_fn(params, batch_stats, images, level_labels, multihot):
                 raw, mutated = model.apply(
                     {"params": params, "batch_stats": batch_stats},
-                    images, train=True, mutable=["batch_stats"])
+                    _device_scale(images), train=True,
+                    mutable=["batch_stats"])
                 loss, _ = criterion(raw, level_labels, multihot)
                 return loss, mutated["batch_stats"]
 
@@ -266,7 +285,7 @@ class ClassifierTrainer:
         def step(state: TrainState, images, level_labels, multihot):
             raw = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                images, train=False)
+                _device_scale(images), train=False)
             loss, scores = criterion(raw, level_labels, multihot)
             return loss, scores
 

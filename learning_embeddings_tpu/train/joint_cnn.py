@@ -122,6 +122,9 @@ class JointCNNTrainer:
 
         def loss_fn(params, batch_stats, pixels,
                     pf, pt, nf, nt, pix_pf, pix_pt, pix_nf, pix_nt):
+            from .classifier import _device_scale
+
+            pixels = _device_scale(pixels)   # uint8 transfer format support
             if cfg.freeze_bn:
                 img_embs = self.featcnn.apply(
                     {"params": params["images"], "batch_stats": batch_stats},
@@ -273,10 +276,12 @@ class JointCNNTrainer:
             energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
 
     def image_embeddings_from_pixels(self, pixels):
+        from .classifier import _device_scale
+
         return self.featcnn.apply(
             {"params": self.params["images"],
              "batch_stats": self.batch_stats},
-            jnp.asarray(pixels), train=False)
+            _device_scale(jnp.asarray(pixels)), train=False)
 
     def label_embeddings(self):
         return self.embedder.apply(self.params["labels"],

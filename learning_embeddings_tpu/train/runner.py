@@ -131,6 +131,9 @@ def run_classifier(
     load_backbone_from: Optional[str] = None,
     n_model: int = 1,
     profile_steps: int = 0,
+    input_dtype: str = "uint8",   # host->device transfer format; 'uint8'
+    #   transfers raw pixels (4x less bandwidth) and scales on device —
+    #   numerically identical to 'float32' (u8/255 either way)
 ):
     if mesh == "auto":
         # use every attached chip (pure DP) when the batch divides evenly —
@@ -165,7 +168,8 @@ def run_classifier(
         split: ImagePipeline(
             ds, labelmap, image_root, image_size=cfg.image_size,
             batch_size=cfg.batch_size, train=(split == "train"),
-            grayscale=use_grayscale, num_workers=n_workers, augment=augment)
+            grayscale=use_grayscale, num_workers=n_workers, augment=augment,
+            out_dtype=input_dtype)
         for split, ds in datasets.items()
     }
     resampler = WeightedResampler(datasets["train"].leaf_labels,

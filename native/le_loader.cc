@@ -127,15 +127,25 @@ void resize_bilinear(const uint8_t* src, int h, int w, int c,
   }
 }
 
+// Output conversion: float32 normalizes to [0,1]; uint8 rounds to nearest
+// (the TPU-first transfer format — 4x less host->device bandwidth, the
+// /255 happens on device where XLA fuses it into the first conv).
+inline void store_px(float v, float* dst) { *dst = v * (1.0f / 255.0f); }
+inline void store_px(float v, uint8_t* dst) {
+  v = std::min(std::max(v, 0.f), 255.f);
+  *dst = static_cast<uint8_t>(v + 0.5f);
+}
+
 // One element of the batch: read file, decode (DCT-scaled when the source
 // is much larger than needed), then ONE fused pass that bilinearly samples
 // the virtual (S+pad)² resize at the random-crop window, applies the flip,
-// and writes normalized float32 — no intermediate resized buffer, no
+// and writes the output format — no intermediate resized buffer, no
 // second normalize sweep. Equivalent math to resize→crop→flip→normalize
 // (sampling at fy=(y0+y+0.5)·h/big−0.5), minus one uint8 rounding.
 // Returns 0 on success.
+template <typename OutT>
 int load_one(const char* path, int size, int pad, int train, int gray,
-             uint64_t seed, float* out) {
+             uint64_t seed, OutT* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
   fseek(f, 0, SEEK_END);
@@ -177,7 +187,6 @@ int load_one(const char* path, int size, int pad, int train, int gray,
     xl1[x] = std::min(a + 1, w - 1);
     xw[x] = fx - a;
   }
-  const float inv = 1.0f / 255.0f;
   // compile-time channel count so the per-pixel loop fully unrolls
   auto sample_rows = [&](auto CC, int y) {
     constexpr int C = decltype(CC)::value;
@@ -188,7 +197,7 @@ int load_one(const char* path, int size, int pad, int train, int gray,
     const float wy = fy - b0;
     const uint8_t* r0 = img + static_cast<size_t>(b0) * w * C;
     const uint8_t* r1 = img + static_cast<size_t>(b1) * w * C;
-    float* orow = out + static_cast<size_t>(y) * size * C;
+    OutT* orow = out + static_cast<size_t>(y) * size * C;
     for (int x = 0; x < size; ++x) {
       const float wx = xw[x];
       const uint8_t* p00 = r0 + xl0[x] * C;
@@ -198,7 +207,7 @@ int load_one(const char* path, int size, int pad, int train, int gray,
       for (int k = 0; k < C; ++k) {
         const float top = p00[k] + (p01[k] - p00[k]) * wx;
         const float bot = p10[k] + (p11[k] - p10[k]) * wx;
-        orow[x * C + k] = (top + (bot - top) * wy) * inv;
+        store_px(top + (bot - top) * wy, orow + x * C + k);
       }
     }
   };
@@ -213,23 +222,9 @@ int load_one(const char* path, int size, int pad, int train, int gray,
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Load + augment a batch of images in parallel.
-//   paths:  n file paths (jpeg)
-//   size:   output side (SxS)
-//   pad:    resize headroom for the random crop (train only; 64 upstream)
-//   train:  1 = random crop + flip, 0 = plain resize
-//   gray:   1 = grayscale (C=1), 0 = RGB (C=3)
-//   seed:   base RNG seed; element i uses seed + i
-//   out:    preallocated n*size*size*C float32 buffer
-//   status: per-element return codes (0 ok)
-// Returns the number of successfully loaded images.
-int le_load_augment_batch(const char** paths, int n, int size, int pad,
-                          int train, int gray, uint64_t seed, float* out,
-                          int* status) {
+template <typename OutT>
+int load_batch_impl(const char** paths, int n, int size, int pad, int train,
+                    int gray, uint64_t seed, OutT* out, int* status) {
   int c = gray ? 1 : 3;
   size_t elem = static_cast<size_t>(size) * size * c;
   int n_threads = std::min<unsigned>(std::thread::hardware_concurrency(),
@@ -253,12 +248,42 @@ int le_load_augment_batch(const char** paths, int n, int size, int pad,
   return ok.load();
 }
 
+}  // namespace
+
+extern "C" {
+
+// Load + augment a batch of images in parallel.
+//   paths:  n file paths (jpeg)
+//   size:   output side (SxS)
+//   pad:    resize headroom for the random crop (train only; 64 upstream)
+//   train:  1 = random crop + flip, 0 = plain resize
+//   gray:   1 = grayscale (C=1), 0 = RGB (C=3)
+//   seed:   base RNG seed; element i uses seed + i
+//   out:    preallocated n*size*size*C float32 buffer
+//   status: per-element return codes (0 ok)
+// Returns the number of successfully loaded images.
+int le_load_augment_batch(const char** paths, int n, int size, int pad,
+                          int train, int gray, uint64_t seed, float* out,
+                          int* status) {
+  return load_batch_impl(paths, n, size, pad, train, gray, seed, out,
+                         status);
+}
+
+// uint8 output variant: same decode/augment pass, batch stays uint8 for a
+// 4x-smaller host->device transfer (scale-to-[0,1] happens on device).
+int le_load_augment_batch_u8(const char** paths, int n, int size, int pad,
+                             int train, int gray, uint64_t seed,
+                             uint8_t* out, int* status) {
+  return load_batch_impl(paths, n, size, pad, train, gray, seed, out,
+                         status);
+}
+
 // Standalone bilinear resize for testing / preprocessing.
 void le_resize_bilinear(const uint8_t* src, int h, int w, int c,
                         uint8_t* dst, int oh, int ow) {
   resize_bilinear(src, h, w, c, dst, oh, ow);
 }
 
-int le_version() { return 1; }
+int le_version() { return 2; }
 
 }  // extern "C"

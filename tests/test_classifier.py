@@ -104,6 +104,50 @@ def test_graft_entry_forward_traces():
     assert out.shape == (images.shape[0], 723)
 
 
+def test_uint8_input_matches_float32_exactly(lm):
+    """uint8 batches (low-bandwidth transfer format) scale on device:
+    u8/255 there is bit-identical to host-side astype(f32)/255."""
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=4)
+    tr = ClassifierTrainer(lm, cfg, mesh=None)
+    _, ll, mh = make_batch(lm, B=4)
+    u8 = RNG.randint(0, 256, (4, 32, 32, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    _, loss_u8 = tr.train_step(tr.state, *tr.put_batch(u8, ll, mh))
+    _, loss_f32 = tr.train_step(tr.state, *tr.put_batch(f32, ll, mh))
+    assert float(loss_u8) == float(loss_f32)
+    l_u8, s_u8 = tr.eval_step(tr.state, *tr.put_batch(u8, ll, mh))
+    l_f, s_f = tr.eval_step(tr.state, *tr.put_batch(f32, ll, mh))
+    assert float(l_u8) == float(l_f)
+    assert np.array_equal(np.asarray(s_u8), np.asarray(s_f))
+
+
+def test_grad_accum_equals_full_batch_step(lm):
+    """grad_accum=2 fed the same micro-batch twice must produce exactly
+    the params of one plain step on that batch (mean of equal grads)."""
+    base = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                            lr=1e-3, image_size=32, batch_size=4)
+    acc = ClassifierConfig(**{**base.__dict__, "grad_accum": 2})
+    imgs, ll, mh = make_batch(lm, B=4)
+    tr1 = ClassifierTrainer(lm, base, mesh=None)
+    tr2 = ClassifierTrainer(lm, acc, mesh=None)
+    b1 = tr1.put_batch(imgs, ll, mh)
+    s1, _ = tr1.train_step(tr1.state, *b1)
+
+    b2 = tr2.put_batch(imgs, ll, mh)
+    s2, _ = tr2.train_step(tr2.state, *b2)   # micro-step: accumulate only
+    mid = jax.tree_util.tree_map(np.asarray, s2.params)
+    init = jax.tree_util.tree_map(np.asarray, tr2.state.params)
+    assert all(np.array_equal(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(mid), jax.tree_util.tree_leaves(init)))
+    s2, _ = tr2.train_step(s2, *b2)          # second micro-step: apply
+    for a, b in zip(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, s1.params)),
+            jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, s2.params))):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_lr_schedule_decays_per_epoch_not_per_step(lm):
     """Regression: --lr_step N must decay after N *epochs*, matching torch
     MultiStepLR (reference experiment.py:158-190) — not after N optimizer

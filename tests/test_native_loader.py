@@ -68,6 +68,38 @@ def test_missing_file_status(jpegs):
     assert status[0] != 0 and (status[1:] == 0).all()
 
 
+def test_uint8_output_matches_f32(jpegs):
+    """uint8 batches (the low-bandwidth transfer format) must equal the
+    f32 batch up to the one rounding step: |u8/255 - f32| <= 0.5/255."""
+    f, _ = native_loader.load_augment_batch(jpegs, 48, train=True, seed=3)
+    u, su = native_loader.load_augment_batch(jpegs, 48, train=True, seed=3,
+                                             out_dtype=np.uint8)
+    assert u.dtype == np.uint8 and u.shape == f.shape
+    assert (su == 0).all()
+    assert np.abs(u.astype(np.float32) / 255.0 - f).max() <= 0.5 / 255 + 1e-6
+
+
+def test_pipeline_uint8_mode(jpegs):
+    from learning_embeddings_tpu.data import ImagePipeline, encode_records
+    from learning_embeddings_tpu.hierarchy import labelmap_from_records
+
+    recs = [{"token": f"t{i}", "image_path": "",
+             "image_name": os.path.basename(p),
+             "family": "F", "subfamily": "S", "genus": "G",
+             "specific_epithet": f"e{i % 2}"} for i, p in enumerate(jpegs)]
+    lm = labelmap_from_records(recs)
+    ds = encode_records(recs, lm)
+    root = os.path.dirname(jpegs[0])
+    kw = dict(image_size=40, batch_size=4, train=True, num_workers=2)
+    pu = ImagePipeline(ds, lm, root, out_dtype="uint8", **kw)
+    pf = ImagePipeline(ds, lm, root, **kw)
+    bu = next(iter(pu.batches(np.arange(4), seed=5)))
+    bf = next(iter(pf.batches(np.arange(4), seed=5)))
+    assert bu["image"].dtype == np.uint8
+    assert np.abs(bu["image"].astype(np.float32) / 255.0
+                  - bf["image"]).max() <= 0.5 / 255 + 1e-6
+
+
 def test_resize_matches_cv2_exactly():
     img = RNG.randint(0, 255, (75, 101, 3), np.uint8)
     ours = native_loader.resize_bilinear(img, 40, 64)

@@ -37,6 +37,10 @@ def feats_for(ds):
             + 0.15 * rng.randn(len(ds.leaf_labels), D)).astype(np.float32)
 
 
+N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 35
+NAME = ("joint_flagship_curriculum" if N_EPOCHS == 35
+        else f"joint_flagship_curriculum_{N_EPOCHS}ep")
+
 cfg = JointTrainerConfig(
     energy="hyp_cone", embedding_dim=10, feature_dim=D,
     lr_labels=1e-3, lr_images=1e-3, batch_size=50,
@@ -47,8 +51,8 @@ cfg = JointTrainerConfig(
     seed=0)
 res = run_joint_embedding(
     lm, graph, train_edges, feats_for(datasets["train"]), cfg,
-    experiment_dir=EXP_DIR, experiment_name="joint_flagship_curriculum",
-    n_epochs=35, eval_interval=5,
+    experiment_dir=EXP_DIR, experiment_name=NAME,
+    n_epochs=N_EPOCHS, eval_interval=5,
     eval_features={s: feats_for(datasets[s]) for s in ("val", "test")},
     eval_paths={s: (datasets[s].level_labels
                     + np.asarray(lm.level_start)[None, :])
@@ -59,7 +63,7 @@ flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
 flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
 flat["wall_s"] = round(time.time() - t0, 1)
 results = json.load(open(OUT)) if os.path.exists(OUT) else {}
-results["joint_flagship_curriculum"] = flat
+results[NAME] = flat
 with open(OUT, "w") as f:
     json.dump(results, f, indent=2)
 print("==", flat, flush=True)
