@@ -31,6 +31,23 @@ def test_ethec_full_flag_set():
     assert args.lr_step == [10, 20] and args.use_2d
 
 
+def test_ethec_tpu_addition_flags():
+    """Round-2 TPU-only flags: uint8/f32 transfer toggle, grad accumulation,
+    frozen BN, TP width."""
+    from learning_embeddings_tpu.cli.ethec_experiments import build_parser
+
+    args = build_parser().parse_args(
+        "--experiment_name e --experiment_dir d --image_dir i --n_epochs 1 "
+        "--model resnet18 --loss multi_level --set_mode train "
+        "--f32_input --grad_accum 4 --freeze_bn --n_model 2".split())
+    assert args.f32_input and args.grad_accum == 4
+    assert args.freeze_bn and args.n_model == 2
+    defaults = build_parser().parse_args(
+        "--experiment_name e --experiment_dir d --image_dir i --n_epochs 1 "
+        "--model resnet18 --loss multi_level --set_mode train".split())
+    assert not defaults.f32_input and defaults.grad_accum == 1
+
+
 def test_oe_h_full_flag_set():
     """The superset flag list of the flagship driver (oe_h.py:2396-2431)."""
     from learning_embeddings_tpu.cli._joint_main import build_parser
