@@ -213,12 +213,98 @@ def main_hostfed(batch_size: int = 128, steps: int = 6, n_images: int = 256,
     }))
 
 
+def main_joint_hostfed(batch_size: int = 16, steps: int = 8,
+                       n_images: int = 128, src_size: int = 512,
+                       image_size: int = 448):
+    """Host-fed JOINT (--use_CNN) bench: every step's unique images are
+    decoded+augmented by the native loader from real JPEGs and shipped as
+    uint8, with NO pre-staging — measures the production input path of the
+    north-star workload (reference loads pixels in dataset workers,
+    oe_h.py:583-736)."""
+    import tempfile
+
+    import cv2
+    from __graft_entry__ import _ethec_labelmap
+    from learning_embeddings_tpu.data import native_loader
+    from learning_embeddings_tpu.losses.joint_sampling import build_joint_graph
+    from learning_embeddings_tpu.train.joint_cnn import (
+        JointCNNConfig, JointCNNTrainer)
+
+    labelmap = _ethec_labelmap()
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_joint_hostfed_")
+    paths_disk = []
+    for i in range(n_images):
+        p = os.path.join(tmp, f"im_{i}.jpg")
+        cv2.imwrite(p, rng.randint(0, 255, (src_size, src_size, 3), np.uint8))
+        paths_disk.append(p)
+
+    leaves = rng.randint(0, labelmap.levels[-1], 2048)
+    ll = labelmap.leaf_paths()[leaves]
+    graph, train_edges = build_joint_graph(labelmap, ll)
+    img_edges = train_edges[train_edges[:, 1] >= labelmap.n_classes]
+
+    def pixel_loader(rows):
+        rows = np.asarray(rows)
+        batch, status = native_loader.load_augment_batch(
+            [paths_disk[int(r) % n_images] for r in rows], image_size,
+            train=True, seed=int(rows[0]) if len(rows) else 0,
+            out_dtype=np.uint8)
+        assert (status == 0).all()
+        return batch
+
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet50",
+                         embedding_dim=10, image_size=image_size,
+                         batch_size=batch_size, neg_to_pos_ratio=5,
+                         alpha=0.05, pick_per_level=True, seed=0)
+    trainer = JointCNNTrainer(labelmap, graph, img_edges[:10000],
+                              pixel_loader, cfg)
+    edges = img_edges[rng.permutation(len(img_edges))]
+
+    def batch(i):
+        e = edges[(i * batch_size) % (len(edges) - batch_size):][:batch_size]
+        return e[:, 0], e[:, 1]
+
+    # warm up every pixel-bucket shape the timed loop will hit (the step
+    # compiles once per bucket; remote compiles must stay out of the timed
+    # loop). Seeding the sampler per step makes the discovery pass see the
+    # exact batches the timed pass will produce.
+    def prep(i):
+        trainer._rng = np.random.RandomState(1000 + i)
+        return trainer.prepare_batch(*batch(i))
+
+    warmed = set()
+    for i in range(1, steps + 1):
+        prepared = prep(i)
+        if prepared[0].shape[0] not in warmed:
+            warmed.add(prepared[0].shape[0])
+            loss, _, _ = trainer.train_prepared(prepared)
+            _ = float(loss)
+    n_imgs = 0
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        prepared = prep(i)
+        n_imgs += int(len(np.unique(np.asarray(prepared[2]))))
+        loss, _, _ = trainer.train_prepared(prepared)
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "ETHEC ResNet-50 hyp-cone joint train, host-fed "
+                  "(native JPEG loader, uint8 transfer, no pre-staging)",
+        "value": round(n_imgs / dt, 2), "unit": "images/sec/chip",
+        "vs_baseline": round(n_imgs / dt / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
 if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "joint":
         main_joint(batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     elif len(sys.argv) > 1 and sys.argv[1] == "hostfed":
         main_hostfed(batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
+    elif len(sys.argv) > 1 and sys.argv[1] == "joint_hostfed":
+        main_joint_hostfed(
+            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 16)
     else:
         bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
         main(batch_size=bs)

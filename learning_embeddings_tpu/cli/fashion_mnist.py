@@ -51,6 +51,9 @@ def build_parser():
                              "absent (no network in this image).")
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--random_seed", type=int, default=0)
+    parser.add_argument("--f32_input", action="store_true",
+                        help="Transfer float32 pixels host->device instead "
+                             "of the default uint8-with-on-device-scale.")
     parser.add_argument("--freeze_bn", action="store_true",
                         help="Frozen BN running statistics (fine-tune "
                              "config; TPU throughput win).")

@@ -169,20 +169,27 @@ def run_lime(experiment_path: str, image_dir: str, split: str = "test",
                            f"{labelmap.ix_to_name[l][int(ll[l])]}")
         summ.make_hrule()
 
+        # ONE perturbation pass per sample: the perturbed images are
+        # identical for every level (same segments, same masks), so predict
+        # all per-level softmaxes at once and slice the surrogate
+        # coefficients per level afterwards — identical explanations at
+        # 1/n_levels the CNN-forward cost of a per-level loop.
+        def predict(images):
+            raw = logits_fn(jnp.asarray(images))
+            return np.concatenate(
+                [np.asarray(jax.nn.softmax(
+                    raw[:, int(starts[l]):int(stops[l])], axis=-1))
+                 for l in range(labelmap.n_levels)], axis=1)
+
+        coefs, probs0 = lime_explain(
+            img, predict, segments, num_samples=num_perturb,
+            hide_color=0.0, rng=np.random.RandomState(0))
         for l in range(labelmap.n_levels):
             a, b = int(starts[l]), int(stops[l])
-
-            def predict(images, a=a, b=b):
-                raw = logits_fn(jnp.asarray(images))
-                return np.asarray(jax.nn.softmax(raw[:, a:b], axis=-1))
-
-            coefs, probs0 = lime_explain(
-                img, predict, segments, num_samples=num_perturb,
-                hide_color=0.0, rng=np.random.RandomState(0))
-            top = np.argsort(-probs0)[:top_labels]
+            top = np.argsort(-probs0[a:b])[:top_labels]
             cells, x_labels = [], []
             for rank, c in enumerate(top):
-                mask = top_feature_mask(coefs[c], segments,
+                mask = top_feature_mask(coefs[a + c], segments,
                                         num_features=num_features)
                 png = f"{i}_{l}_{rank}.png"
                 mpimg.imsave(os.path.join(out_dir, png),
@@ -274,7 +281,7 @@ def main(args=None):
                         help="<experiment_dir>/<experiment_name>")
     parser.add_argument("--image_dir", type=str, required=True)
     parser.add_argument("--mode", type=str, required=True,
-                        help="[lime, occlusion, tsne]")
+                        choices=["lime", "occlusion", "tsne"])
     parser.add_argument("--split", type=str, default="test")
     parser.add_argument("--n_samples", type=int, default=4)
     parser.add_argument("--animate", action="store_true",

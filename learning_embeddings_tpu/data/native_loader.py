@@ -24,10 +24,11 @@ _tried = False
 __all__ = ["available", "load_augment_batch", "resize_bilinear"]
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
-        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                       check=True, capture_output=True, timeout=120)
+        cmd = ["make"] + (["-B"] if force else []) + \
+            ["-C", os.path.abspath(_NATIVE_DIR)]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False
@@ -43,27 +44,30 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-            if lib.le_version() < 2:          # stale build: rebuild in place
-                raise OSError("stale native loader")
+            if lib.le_version() < 2:
+                # Stale v1 .so on disk. Rebuilding helps the NEXT process
+                # only: dlopen dedups by path and ctypes never dlcloses, so
+                # re-CDLL-ing here would return the same stale handle. Fall
+                # back to the python/cv2 pipeline for this process.
+                _build(force=True)
+                return None
         except (OSError, AttributeError):
-            if not _build():
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
-                return None
-        lib.le_load_augment_batch.restype = ctypes.c_int
-        lib.le_load_augment_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.le_load_augment_batch_u8.restype = ctypes.c_int
-        lib.le_load_augment_batch_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
-        ]
+            return None
+        try:
+            lib.le_load_augment_batch.restype = ctypes.c_int
+            lib.le_load_augment_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.le_load_augment_batch_u8.restype = ctypes.c_int
+            lib.le_load_augment_batch_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ]
+        except AttributeError:   # symbol missing: treat as unavailable
+            return None
         lib.le_resize_bilinear.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,

@@ -40,6 +40,7 @@ from ..losses.classification import (
     multi_label_soft_margin,
 )
 from ..models.heads import HierarchicalCNN
+from ..ops.image import device_scale
 from ..parallel.mesh import batch_sharding, param_shardings, replicated
 
 CRITERIA = ("multi_level_ce", "last_level_ce", "masked_ce",
@@ -94,16 +95,6 @@ class ClassifierConfig:
     #   (GSPMD spatial partitioning: XLA inserts conv halo exchanges) — lets
     #   resolutions/batches exceed one chip's activation memory; something
     #   the reference's DataParallel cannot express at all
-
-
-def _device_scale(images):
-    """uint8 batches (the low-bandwidth transfer format,
-    ImagePipeline(out_dtype='uint8')) scale to [0,1] on device; XLA fuses
-    the convert into the first conv. float inputs pass through — the
-    dtype check is trace-time, so each path compiles cleanly."""
-    if images.dtype == jnp.uint8:
-        return images.astype(jnp.float32) * (1.0 / 255.0)
-    return images
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -248,14 +239,14 @@ class ClassifierTrainer:
             def loss_fn(params, batch_stats, images, level_labels, multihot):
                 raw = model.apply(
                     {"params": params, "batch_stats": batch_stats},
-                    _device_scale(images), train=False)
+                    device_scale(images), train=False)
                 loss, _ = criterion(raw, level_labels, multihot)
                 return loss, batch_stats
         else:
             def loss_fn(params, batch_stats, images, level_labels, multihot):
                 raw, mutated = model.apply(
                     {"params": params, "batch_stats": batch_stats},
-                    _device_scale(images), train=True,
+                    device_scale(images), train=True,
                     mutable=["batch_stats"])
                 loss, _ = criterion(raw, level_labels, multihot)
                 return loss, mutated["batch_stats"]
@@ -285,7 +276,7 @@ class ClassifierTrainer:
         def step(state: TrainState, images, level_labels, multihot):
             raw = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                _device_scale(images), train=False)
+                device_scale(images), train=False)
             loss, scores = criterion(raw, level_labels, multihot)
             return loss, scores
 

@@ -32,6 +32,7 @@ import optax
 from ..losses.joint_sampling import JointGraph, sample_joint_negatives_np
 from ..losses.margin import margin_loss
 from ..models.embedder import FeatCNN, LabelEmbedder
+from ..ops.image import device_scale
 from ..optim.rsgd import (project_annulus_tree, riemannian_adam,
                           riemannian_sgd, scale_by_conformal_factor)
 from .joint import DEFAULT_K, JOINT_MODE
@@ -122,9 +123,7 @@ class JointCNNTrainer:
 
         def loss_fn(params, batch_stats, pixels,
                     pf, pt, nf, nt, pix_pf, pix_pt, pix_nf, pix_nt):
-            from .classifier import _device_scale
-
-            pixels = _device_scale(pixels)   # uint8 transfer format support
+            pixels = device_scale(pixels)   # uint8 transfer format support
             if cfg.freeze_bn:
                 img_embs = self.featcnn.apply(
                     {"params": params["images"], "batch_stats": batch_stats},
@@ -276,12 +275,10 @@ class JointCNNTrainer:
             energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
 
     def image_embeddings_from_pixels(self, pixels):
-        from .classifier import _device_scale
-
         return self.featcnn.apply(
             {"params": self.params["images"],
              "batch_stats": self.batch_stats},
-            _device_scale(jnp.asarray(pixels)), train=False)
+            device_scale(jnp.asarray(pixels)), train=False)
 
     def label_embeddings(self):
         return self.embedder.apply(self.params["labels"],
