@@ -100,9 +100,17 @@ class Checkpointer:
     def _path(self, name) -> str:
         return os.path.join(os.path.abspath(self.dir), str(name))
 
-    def save(self, name, payload: Dict[str, Any]) -> None:
+    def save(self, name, payload: Dict[str, Any], wait: bool = True) -> None:
+        """wait=False leaves the write in flight (orbax's async machinery
+        snapshots the arrays first, so training can continue immediately);
+        call wait_until_finished() before reading the file back or exiting.
+        orbax itself serializes overlapping saves."""
         path = self._path(name)
         self._ckpt.save(path, payload, force=True)
+        if wait:
+            self._ckpt.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
         self._ckpt.wait_until_finished()
 
     def load(self, name, like: Dict[str, Any]) -> Dict[str, Any]:

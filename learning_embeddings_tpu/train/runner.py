@@ -260,16 +260,20 @@ def run_classifier(
                     ckpt.save("best_model", {
                         "params": trainer.state.params,
                         "batch_stats": trainer.state.batch_stats,
-                        "opt_state": trainer.state.opt_state})
+                        "opt_state": trainer.state.opt_state}, wait=False)
+            # async epoch checkpoint: the write overlaps the next epoch
+            # (orbax snapshots the arrays before returning)
             ckpt.save(epoch, {"params": trainer.state.params,
                               "batch_stats": trainer.state.batch_stats,
-                              "opt_state": trainer.state.opt_state})
+                              "opt_state": trainer.state.opt_state},
+                      wait=False)
             logger.scalar("epoch_time", time.time() - t0, epoch)
 
     # load best + final test with score dumps (experiment.py:217-224,
     # finetuner.py:263-265)
     if best_epoch >= 0 or set_mode != "train":
         try:
+            ckpt.wait_until_finished()
             payload = ckpt.load("best_model", like)
             trainer.state = trainer.state.replace(**payload)
         except Exception:
@@ -294,6 +298,7 @@ def run_classifier(
             [lv.per_class_f1 for lv in m_all["levels"]])
         render_score_vs_freq(per_class_f1, train_freq,
                              os.path.join(exp.stats, "f1_vs_train_freq.png"))
+    ckpt.wait_until_finished()   # drain in-flight async epoch saves
     logger.close()
     return {"best_val_score": best_score, "best_epoch": best_epoch,
             "test_metrics": flat, "experiment": exp}

@@ -76,6 +76,24 @@ def test_classifier_runner_artifacts_and_resume(class_setup, tmp_path):
     assert after > before
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save(wait=False) + wait_until_finished() must round-trip exactly
+    (the classifier runner overlaps epoch saves with the next epoch)."""
+    exp = ExperimentDir(str(tmp_path), "async_ckpt")
+    ckpt = Checkpointer(exp)
+    payload = {"params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+               "step": np.full((), 7, np.int32)}
+    ckpt.save(3, payload, wait=False)
+    ckpt.save("best_model", payload, wait=False)
+    ckpt.wait_until_finished()
+    like = {"params": {"w": np.zeros((3, 4), np.float32)},
+            "step": np.zeros((), np.int32)}
+    out = ckpt.load(3, like)
+    assert np.array_equal(out["params"]["w"], payload["params"]["w"])
+    assert int(out["step"]) == 7
+    assert ckpt.find_existing_weights() == 3
+
+
 def test_embedding_runner_resume_and_threshold_payload(tmp_path):
     lm = toy_labelmap(branching=3, n_levels=3)
     A = label_graph_from_paths(lm.leaf_paths(), lm)
