@@ -122,6 +122,21 @@ def test_uint8_input_matches_float32_exactly(lm):
     assert np.array_equal(np.asarray(s_u8), np.asarray(s_f))
 
 
+def test_uint8_input_on_mesh_matches_f32(lm):
+    """uint8 batches shard and train on the ('data','model') mesh; loss
+    matches the f32-fed sharded step exactly."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=8)
+    tr = ClassifierTrainer(lm, cfg, mesh=mesh)
+    _, ll, mh = make_batch(lm, B=8)
+    u8 = RNG.randint(0, 256, (8, 32, 32, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    _, loss_u8 = tr.train_step(tr.state, *tr.put_batch(u8, ll, mh))
+    _, loss_f32 = tr.train_step(tr.state, *tr.put_batch(f32, ll, mh))
+    assert float(loss_u8) == float(loss_f32)
+
+
 def test_grad_accum_equals_full_batch_step(lm):
     """grad_accum=2 fed the same micro-batch twice must produce exactly
     the params of one plain step on that batch (mean of equal grads)."""
