@@ -42,6 +42,9 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                         help="If use training or testing mode (loads best model).")
     parser.add_argument("--lr_step", nargs="*", default=[], type=int,
                         help="List of epochs to multiply lr by 0.1")
+    parser.add_argument("--lr_decay", type=float, default=0.1,
+                        help="Factor applied to the lr at each lr_step "
+                             "epoch (reference MultiStepLR gamma).")
     parser.add_argument("--data_dir", type=str, default=DEFAULT_DATA_DIR,
                         help="Directory holding train/val/test.json splits.")
     parser.add_argument("--random_seed", type=int, default=0)

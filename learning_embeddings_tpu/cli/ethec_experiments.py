@@ -96,6 +96,7 @@ def main(args=None):
         lr=args.lr,
         optimizer=args.optimizer_method,
         lr_steps=tuple(args.lr_step),
+        lr_decay=args.lr_decay,
         level_weights=args.level_weights,
         class_weights=class_weights,
         freeze_trunk=args.freeze_weights,

@@ -51,6 +51,10 @@ def build_parser():
                              "absent (no network in this image).")
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--random_seed", type=int, default=0)
+    parser.add_argument("--class_weights", action="store_true",
+                        help="Re-weigh the loss by inverse class freq.")
+    parser.add_argument("--level_weights", nargs="*", default=None,
+                        type=float, help="Per-level loss weights.")
     parser.add_argument("--f32_input", action="store_true",
                         help="Transfer float32 pixels host->device instead "
                              "of the default uint8-with-on-device-scale.")
@@ -85,9 +89,18 @@ def main(args=None):
         "val": ArrayDataset(images[va], labels[va], labelmap),
         "test": ArrayDataset(images[te], labels[te], labelmap),
     }
+    class_weights = None
+    if args.class_weights:
+        # inverse frequency over train multihot (finetuner.py:176-197)
+        mh = datasets["train"].multihot(labelmap)
+        counts = np.maximum(mh.sum(axis=0), 1.0)
+        class_weights = (1.0 / counts).astype(np.float32)
     cfg = ClassifierConfig(
         backbone=args.model,
         criterion=LOSS_MAP[args.loss],
+        level_weights=(tuple(args.level_weights)
+                       if args.level_weights else None),
+        class_weights=class_weights,
         lr=args.lr,
         optimizer=args.optimizer_method,
         freeze_trunk=args.freeze_weights,

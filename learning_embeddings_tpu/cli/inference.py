@@ -277,8 +277,10 @@ def run_occlusion(experiment_path: str, image_dir: str, split: str = "test",
 
 def main(args=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--experiment_path", type=str, required=True,
-                        help="<experiment_dir>/<experiment_name>")
+    parser.add_argument("--experiment_path", "--path_to_exp",
+                        dest="experiment_path", type=str, required=True,
+                        help="<experiment_dir>/<experiment_name> "
+                             "(--path_to_exp = reference flag name)")
     parser.add_argument("--image_dir", type=str, required=True)
     parser.add_argument("--mode", type=str, required=True,
                         choices=["lime", "occlusion", "tsne"])

@@ -36,6 +36,29 @@ def build_parser():
                              "363-371) or from all splits (covers the full "
                              "723-node taxonomy when train.json is absent)")
     parser.add_argument("--check_reconstr_every", type=int, default=10)
+    parser.add_argument("--level_weights", nargs="*", default=None,
+                        type=float,
+                        help="Per-level edge weights for the margin loss "
+                             "(reference order_embeddings.py:835-841).")
+    parser.add_argument("--weigh_pos_term", action="store_true",
+                        help="Apply level weights to the positive term "
+                             "only (reference --weigh_pos_term).")
+    parser.add_argument("--weigh_neg_term", action="store_true",
+                        help="Weight negatives n_nodes/ratio x "
+                             "1/deg_tc(corrupted node) (reference "
+                             "--weigh_neg_term).")
+    for flag in ("--class_weights", "--freeze_weights", "--use_grayscale"):
+        parser.add_argument(flag, action="store_true",
+                            help="Accepted for reference command-line "
+                                 "compatibility; unused by the imageless "
+                                 "label-only driver.")
+    for flag in ("--evaluator", "--image_dir", "--model",
+                 "--weight_strategy"):
+        parser.add_argument(flag, type=str, default=None,
+                            help="Accepted for reference command-line "
+                                 "compatibility; unused by the imageless "
+                                 "label-only driver.")
+
     parser.add_argument("--use_rsgd", action="store_true",
                         help="Full Riemannian SGD instead of the "
                              "conformal-rescaled adam hybrid.")
@@ -76,9 +99,13 @@ def main(args=None):
         optimizer=("rsgd" if args.use_rsgd
                    else "radam" if args.use_radam else args.optimizer_method),
         pick_per_level=args.pick_per_level,
+        level_weights=(tuple(args.level_weights)
+                       if args.level_weights else None),
+        weigh_pos_term=args.weigh_pos_term,
+        weigh_neg_term=args.weigh_neg_term,
         seed=args.random_seed,
         lr_steps=tuple(args.lr_step),
-        lr_decay=getattr(args, "lr_decay", 0.1),
+        lr_decay=args.lr_decay,
     )
     warm_start = None
     if args.load_cosine_emb:

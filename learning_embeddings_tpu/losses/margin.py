@@ -35,6 +35,7 @@ __all__ = [
     "margin_loss",
     "eval_edge_energies",
     "level_weights_for_nodes",
+    "degree_neg_weights",
 ]
 
 
@@ -115,6 +116,23 @@ def level_weights_for_nodes(nodes, level_stop: np.ndarray, level_weights) -> jnp
     level = jnp.searchsorted(stops, nodes, side="right")
     in_range = level < lw.shape[0]
     return jnp.where(in_range, lw[jnp.minimum(level, lw.shape[0] - 1)], 1.0)
+
+
+def degree_neg_weights(neg_from, neg_to, in_deg, out_deg,
+                       neg_to_pos_ratio: int, n_nodes: int) -> jnp.ndarray:
+    """Reference --weigh_neg_term (order_embeddings.py:881-916): every
+    corrupted edge is weighted n_nodes/ratio × 1/deg_tc(corrupted node),
+    where deg_tc is the closure in-degree of a corrupted 'to' node or the
+    closure out-degree of a corrupted 'from' node (degree 0 → no degree
+    factor). Sampler layout: per positive edge, the first R slots corrupt
+    the 'to' side, the last R the 'from' side."""
+    R = neg_to_pos_ratio
+    slot = jnp.arange(neg_from.shape[0]) % (2 * R)
+    corrupted_to = slot < R
+    deg = jnp.where(corrupted_to, in_deg[neg_to],
+                    out_deg[neg_from]).astype(jnp.float32)
+    factor = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 1.0)
+    return (float(n_nodes) / R) * factor
 
 
 def margin_loss(

@@ -66,6 +66,12 @@ class EmbeddingTrainerConfig:
     optimizer: str = "rsgd"          # rsgd | adam | sgd
     pick_per_level: bool = False
     level_weights: Optional[Tuple[float, ...]] = None
+    weigh_pos_term: bool = False   # reference --weigh_pos_term: level
+    #   weights apply to the positive term ONLY (by default negatives
+    #   inherit their positive edge's level weight,
+    #   order_embeddings.py:900-916)
+    weigh_neg_term: bool = False   # reference --weigh_neg_term: negatives
+    #   weighted n_nodes/ratio x 1/deg_tc(corrupted node)
     seed: int = 0
     K: Optional[float] = None        # default per energy
     lr_steps: Tuple[int, ...] = ()   # epochs where lr ×= lr_decay
@@ -143,14 +149,30 @@ class EmbeddingTrainer:
         project_hyp = cfg.energy == "hyp_cone" and cfg.optimizer != "rsgd"
         K = self.K
 
+        if cfg.weigh_neg_term:
+            # closure degrees for the corrupted-node weighting: the
+            # negative adjacency is (all-ones − closure − diag), so the
+            # closure is directly available on the splits
+            tc = np.asarray(self.splits.closure, bool)
+            in_deg = jnp.asarray(tc.sum(axis=0).astype(np.int32))
+            out_deg = jnp.asarray(tc.sum(axis=1).astype(np.int32))
+
         def loss_fn(params, pos_from, pos_to, neg_from, neg_to):
             f = lambda ids: model.apply(params, ids)
             pw = None
             nw = None
             if lw is not None:
                 pw = level_weights_for_nodes(pos_to, level_stop, lw)
-                # reference: negatives inherit their positive edge's weight
-                nw = jnp.repeat(pw, 2 * cfg.neg_to_pos_ratio)
+                if not cfg.weigh_pos_term:
+                    # reference default: negatives inherit their positive
+                    # edge's level weight (order_embeddings.py:900-916)
+                    nw = jnp.repeat(pw, 2 * cfg.neg_to_pos_ratio)
+            if cfg.weigh_neg_term:
+                from ..losses.margin import degree_neg_weights
+
+                dw = degree_neg_weights(neg_from, neg_to, in_deg, out_deg,
+                                        cfg.neg_to_pos_ratio, self.n_nodes)
+                nw = dw if nw is None else nw * dw
             loss, (e_pos, e_neg) = margin_loss(
                 f(pos_from), f(pos_to), f(neg_from), f(neg_to),
                 energy=cfg.energy, alpha=cfg.alpha,

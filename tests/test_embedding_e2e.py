@@ -72,6 +72,47 @@ def test_euc_cone_embedding_learns():
     assert (np.linalg.norm(emb, axis=1) >= 3.0 - 1e-4).all()
 
 
+def test_degree_neg_weights_reference_semantics():
+    """--weigh_neg_term: weight = n_nodes/ratio × 1/deg_tc(corrupted node)
+    — in-degree for corrupted 'to' slots (first R per edge), out-degree for
+    corrupted 'from' slots (last R); degree 0 → no factor
+    (order_embeddings.py:881-916)."""
+    from learning_embeddings_tpu.losses.margin import degree_neg_weights
+
+    R, n_nodes = 2, 10
+    in_deg = np.array([0, 1, 2, 4] + [1] * 6)
+    out_deg = np.array([5, 0, 1, 2] + [1] * 6)
+    # one positive edge -> 2R = 4 slots: [to-corrupt, to-corrupt,
+    #                                     from-corrupt, from-corrupt]
+    neg_from = np.array([7, 7, 0, 1])   # from-corrupt slots use out_deg
+    neg_to = np.array([2, 0, 8, 8])     # to-corrupt slots use in_deg
+    w = np.asarray(degree_neg_weights(neg_from, neg_to, in_deg, out_deg,
+                                      R, n_nodes))
+    base = n_nodes / R
+    np.testing.assert_allclose(
+        w, [base / 2,      # in_deg[2] = 2
+            base,          # in_deg[0] = 0 -> no factor
+            base / 5,      # out_deg[0] = 5
+            base])         # out_deg[1] = 0 -> no factor
+
+
+def test_weighting_flags_train(recwarn):
+    """level_weights / weigh_pos_term / weigh_neg_term variants all train
+    and converge on the toy graph."""
+    lm, splits = toy_splits()
+    for kw in ({"level_weights": (1.0, 2.0, 3.0)},
+               {"level_weights": (1.0, 2.0, 3.0), "weigh_pos_term": True},
+               {"weigh_neg_term": True}):
+        cfg = EmbeddingTrainerConfig(energy="order", embedding_dim=4,
+                                     lr=0.01, batch_size=10,
+                                     neg_to_pos_ratio=3, alpha=1.0,
+                                     optimizer="adam", seed=0, **kw)
+        tr, stats = run(lm, splits, cfg, 150)
+        assert np.isfinite(stats["loss"])
+        rec = tr.reconstruction()
+        assert float(rec.f1) > 0.85, (kw, float(rec.f1))
+
+
 def test_val_threshold_calibration_and_test_reuse():
     lm = toy_labelmap(branching=3, n_levels=3)
     from learning_embeddings_tpu.hierarchy import label_graph_from_paths, split_edges
