@@ -39,6 +39,12 @@ def build_parser(default_energy: str):
     parser.add_argument("--neg_to_pos_ratio", type=int, default=5)
     parser.add_argument("--model", type=str, default="alexnet")
     parser.add_argument("--loss", type=str, default=default_energy)
+    parser.add_argument("--loss_variant", type=str, default="margin",
+                        choices=("margin", "vendrov", "nll"),
+                        help="margin = reference hypernym losses; vendrov "
+                             "= the v1 prototype's caption-ranking loss "
+                             "(order_embeddings_images.py:533-542); nll = "
+                             "SimpleEuclideanEmbLoss.")
     parser.add_argument("--use_CNN", action="store_true",
                         help="Train the image CNN end-to-end on pixels "
                              "instead of frozen fc7 features (FeatCNN).")
@@ -121,6 +127,7 @@ def joint_main(args, default_energy: str):
         pick_per_level=args.pick_per_level,
         hide_levels=args.hide_levels,
         half_half=args.half_half,
+        loss_variant=args.loss_variant,
         seed=args.random_seed,
     )
     result = run_joint_embedding(

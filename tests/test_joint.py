@@ -98,6 +98,27 @@ def test_joint_training_learns(setup):
     assert m1["median_label_norm"] < 1.0 and m1["median_img_norm"] < 1.0
 
 
+@pytest.mark.parametrize("variant", ["vendrov", "nll"])
+def test_joint_loss_variants_learn(setup, variant):
+    """The v1-prototype loss variants (--loss_variant vendrov/nll,
+    order_embeddings_images.py:533-542 / order_embeddings.py:1108-1202)
+    train and improve ranking."""
+    lm, graph, train_edges, feats, ll = setup
+    cfg = JointTrainerConfig(
+        energy="order", embedding_dim=4, feature_dim=32,
+        lr_labels=0.01, lr_images=0.01, batch_size=12, neg_to_pos_ratio=4,
+        alpha=0.05, optimizer_labels="adam", pick_per_level=True,
+        loss_variant=variant, seed=0)
+    tr = JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg)
+    rng = np.random.RandomState(0)
+    m0 = tr.classification_metrics()
+    for ep in range(40):
+        stats = tr.train_epoch(ep, rng)
+    assert np.isfinite(stats["loss"])
+    m1 = tr.classification_metrics()
+    assert m1["hit@1"] > m0["hit@1"]
+
+
 def test_curriculum_stages_filter_edges(setup):
     lm, graph, train_edges, feats, ll = setup
     cfg = JointTrainerConfig(
