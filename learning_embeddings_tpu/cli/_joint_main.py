@@ -181,6 +181,7 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
             for r in rows]).astype(np.float32) / 255.0
 
     cfg = JointCNNConfig(
+        loss_variant=args.loss_variant,
         energy=LOSS_MAP[args.loss], backbone=args.model
         if args.model != "alexnet" else "resnet18",
         embedding_dim=args.embedding_dim, image_size=size,

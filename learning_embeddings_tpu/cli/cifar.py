@@ -18,7 +18,7 @@ from ..data.workloads import (
 )
 from ..train.classifier import ClassifierConfig
 from ..train.runner import run_classifier
-from .common import manifest_from_args
+from .common import inverse_class_weights, manifest_from_args
 from .fashion_mnist import LOSS_MAP
 
 
@@ -88,10 +88,7 @@ def main(args=None):
     }
     class_weights = None
     if args.class_weights:
-        # inverse frequency over train multihot (finetuner.py:176-197)
-        mh = datasets["train"].multihot(labelmap)
-        counts = np.maximum(mh.sum(axis=0), 1.0)
-        class_weights = (1.0 / counts).astype(np.float32)
+        class_weights = inverse_class_weights(datasets["train"], labelmap)
     cfg = ClassifierConfig(
         backbone=args.model,
         criterion=LOSS_MAP[args.loss],

@@ -55,6 +55,14 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                              "identical).")
 
 
+def inverse_class_weights(dataset, labelmap):
+    """Inverse-class-frequency loss weights over the train multihot
+    (reference prepare_model class counting, finetuner.py:176-197)."""
+    mh = dataset.multihot(labelmap)
+    counts = np.maximum(mh.sum(axis=0), 1.0)
+    return (1.0 / counts).astype(np.float32)
+
+
 def load_ethec_data(data_dir: str, debug: bool = False,
                     n_debug_leaves: int = 12):
     """(labelmap, {split: EncodedDataset}, {split: records}).

@@ -8,7 +8,8 @@ import argparse
 
 from ..train.classifier import ClassifierConfig
 from ..train.runner import run_classifier
-from .common import add_common_flags, load_ethec_data, manifest_from_args
+from .common import (add_common_flags, inverse_class_weights,
+                     load_ethec_data, manifest_from_args)
 
 LOSS_MAP = {
     "multi_level": "multi_level_ce",
@@ -85,10 +86,7 @@ def main(args=None):
 
     class_weights = None
     if args.class_weights:
-        # inverse frequency over train multihot (finetuner.py:176-197)
-        mh = datasets["train"].multihot(labelmap)
-        counts = np.maximum(mh.sum(axis=0), 1.0)
-        class_weights = (1.0 / counts).astype(np.float32)
+        class_weights = inverse_class_weights(datasets["train"], labelmap)
 
     cfg = ClassifierConfig(
         backbone=args.model,

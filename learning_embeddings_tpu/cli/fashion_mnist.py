@@ -91,10 +91,7 @@ def main(args=None):
     }
     class_weights = None
     if args.class_weights:
-        # inverse frequency over train multihot (finetuner.py:176-197)
-        mh = datasets["train"].multihot(labelmap)
-        counts = np.maximum(mh.sum(axis=0), 1.0)
-        class_weights = (1.0 / counts).astype(np.float32)
+        class_weights = inverse_class_weights(datasets["train"], labelmap)
     cfg = ClassifierConfig(
         backbone=args.model,
         criterion=LOSS_MAP[args.loss],

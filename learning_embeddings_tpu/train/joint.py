@@ -94,6 +94,12 @@ class JointEmbeddingTrainer:
         mode = JOINT_MODE[cfg.energy]
         self.train_edges = np.asarray(train_edges, np.int32)
         self.features = jnp.asarray(features, jnp.float32)
+        if cfg.loss_variant == "nll" and cfg.energy != "order":
+            # the reference's SimpleEuclideanEmbLoss is squared-Euclidean
+            # distance on flat embeddings (order_embeddings.py:1108-1202) —
+            # meaningless on ball/cone coordinates
+            raise ValueError("loss_variant='nll' requires the euclidean "
+                             "order energy (--loss order_emb_loss)")
 
         self.embedder = LabelEmbedder(n_nodes=graph.n_labels,
                                       dim=cfg.embedding_dim, mode=mode,

@@ -52,6 +52,7 @@ class JointCNNConfig:
     optimizer_labels: str = "adam"
     pick_per_level: bool = True
     levels_to_hide: Tuple[int, ...] = ()
+    loss_variant: str = "margin"   # margin | vendrov | nll (see joint.py)
     seed: int = 0
     K: Optional[float] = None
     freeze_bn: bool = False  # frozen BN stats in the image tower (no
@@ -70,6 +71,12 @@ class JointCNNTrainer:
         mode = JOINT_MODE[cfg.energy]
         self.train_edges = np.asarray(train_edges, np.int32)
         self.pixel_loader = pixel_loader
+        if cfg.loss_variant == "nll" and cfg.energy != "order":
+            # the reference's SimpleEuclideanEmbLoss is squared-Euclidean
+            # distance on flat embeddings (order_embeddings.py:1108-1202) —
+            # meaningless on ball/cone coordinates
+            raise ValueError("loss_variant='nll' requires the euclidean "
+                             "order energy (--loss order_emb_loss)")
 
         self.embedder = LabelEmbedder(n_nodes=graph.n_labels,
                                       dim=cfg.embedding_dim, mode=mode,
@@ -133,12 +140,24 @@ class JointCNNTrainer:
                 img_embs, mutated = self.featcnn.apply(
                     {"params": params["images"], "batch_stats": batch_stats},
                     pixels, train=True, mutable=["batch_stats"])
-            loss, (e_pos, e_neg) = margin_loss(
-                emb(params, img_embs, pf, pix_pf),
-                emb(params, img_embs, pt, pix_pt),
-                emb(params, img_embs, nf, pix_nf),
-                emb(params, img_embs, nt, pix_nt),
-                energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
+            embs = (emb(params, img_embs, pf, pix_pf),
+                    emb(params, img_embs, pt, pix_pt),
+                    emb(params, img_embs, nf, pix_nf),
+                    emb(params, img_embs, nt, pix_nt))
+            if cfg.loss_variant == "vendrov":
+                from ..losses.margin import vendrov_ranking_loss
+
+                loss, (e_pos, e_neg) = vendrov_ranking_loss(
+                    *embs, energy=cfg.energy, alpha=cfg.alpha,
+                    neg_to_pos_ratio=cfg.neg_to_pos_ratio, **energy_kw)
+            elif cfg.loss_variant == "nll":
+                from ..losses.margin import simple_euclidean_nll_loss
+
+                loss, (e_pos, e_neg) = simple_euclidean_nll_loss(
+                    *embs, neg_to_pos_ratio=cfg.neg_to_pos_ratio)
+            else:
+                loss, (e_pos, e_neg) = margin_loss(
+                    *embs, energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
             return loss, (mutated["batch_stats"], e_pos, e_neg)
 
         @jax.jit

@@ -271,9 +271,10 @@ def run_classifier(
 
     # load best + final test with score dumps (experiment.py:217-224,
     # finetuner.py:263-265)
+    ckpt.wait_until_finished()   # surface async save failures here, not
+    #                              inside the missing-best_model except
     if best_epoch >= 0 or set_mode != "train":
         try:
-            ckpt.wait_until_finished()
             payload = ckpt.load("best_model", like)
             trainer.state = trainer.state.replace(**payload)
         except Exception:

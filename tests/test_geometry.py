@@ -248,3 +248,62 @@ def test_energy_gradients_finite():
     gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
     assert np.isfinite(np.asarray(gx)).all()
     assert np.isfinite(np.asarray(gy)).all()
+
+
+# --------------------------------------------------------------------------
+# loss-variant oracles (v1 prototype losses)
+# --------------------------------------------------------------------------
+
+def test_vendrov_ranking_loss_vs_torch():
+    """Oracle typed from get_image_label_loss
+    (order_embeddings_images.py:533-542): S_i = Σ_j clamp(α − s⁺_i + s⁻_ij)
+    with s = −E (order energy)."""
+    from learning_embeddings_tpu.losses.margin import vendrov_ranking_loss
+
+    B, R, D, alpha = 6, 3, 5, 1.0
+    pf = RNG.randn(B, D).astype(np.float32)
+    pt = RNG.randn(B, D).astype(np.float32)
+    nf = RNG.randn(B * 2 * R, D).astype(np.float32)
+    nt = RNG.randn(B * 2 * R, D).astype(np.float32)
+
+    loss, (e_pos, e_neg) = vendrov_ranking_loss(
+        jnp.array(pf), jnp.array(pt), jnp.array(nf), jnp.array(nt),
+        energy="order", alpha=alpha, neg_to_pos_ratio=R)
+
+    s_pos = -torch_order_energy(torch.tensor(pf), torch.tensor(pt))
+    s_neg = -torch_order_energy(torch.tensor(nf),
+                                torch.tensor(nt)).view(B, 2 * R)
+    s_pos_rep = s_pos.repeat(2 * R).view(2 * R, B).transpose(0, 1)
+    S = torch.sum(torch.clamp(alpha - s_pos_rep + s_neg, min=0.0), dim=1)
+    np.testing.assert_allclose(float(loss), float(S.sum()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_pos), (-s_pos).numpy(),
+                               rtol=1e-5)
+
+
+def test_simple_euclidean_nll_loss_vs_torch():
+    """Oracle typed from SimpleEuclideanEmbLoss (order_embeddings.py:
+    1140-1200): loss_i = d²⁺_i + log(Σ_j exp(−d²⁻_ij) + exp(−d(u,u)=0))."""
+    from learning_embeddings_tpu.losses.margin import (
+        simple_euclidean_nll_loss)
+
+    B, R, D = 5, 2, 4
+    pf = RNG.randn(B, D).astype(np.float32)
+    pt = RNG.randn(B, D).astype(np.float32)
+    nf = RNG.randn(B * 2 * R, D).astype(np.float32)
+    nt = RNG.randn(B * 2 * R, D).astype(np.float32)
+
+    loss, (d_pos, d_neg) = simple_euclidean_nll_loss(
+        jnp.array(pf), jnp.array(pt), jnp.array(nf), jnp.array(nt),
+        neg_to_pos_ratio=R)
+
+    def d_fn(a, b):
+        return torch.sum((a - b) ** 2, dim=1)
+
+    dp = d_fn(torch.tensor(pf), torch.tensor(pt))
+    dn = d_fn(torch.tensor(nf), torch.tensor(nt)).view(B, 2 * R)
+    ref = 0.0
+    for i in range(B):
+        cat = torch.cat([dn[i], torch.zeros(1)])    # d(u,u) = 0 self term
+        ref = ref + dp[i] + torch.log(torch.sum(torch.exp(-cat)))
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_pos), dp.numpy(), rtol=1e-5)

@@ -119,6 +119,14 @@ def test_joint_loss_variants_learn(setup, variant):
     assert m1["hit@1"] > m0["hit@1"]
 
 
+def test_nll_variant_rejects_non_euclidean_energy(setup):
+    lm, graph, train_edges, feats, ll = setup
+    cfg = JointTrainerConfig(energy="hyp_cone", embedding_dim=4,
+                             feature_dim=32, loss_variant="nll", seed=0)
+    with pytest.raises(ValueError, match="euclidean"):
+        JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg)
+
+
 def test_curriculum_stages_filter_edges(setup):
     lm, graph, train_edges, feats, ll = setup
     cfg = JointTrainerConfig(
