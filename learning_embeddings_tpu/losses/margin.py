@@ -36,6 +36,7 @@ __all__ = [
     "eval_edge_energies",
     "level_weights_for_nodes",
     "degree_neg_weights",
+    "variant_loss",
 ]
 
 
@@ -194,6 +195,23 @@ def vendrov_ranking_loss(emb_pos_from, emb_pos_to, emb_neg_from, emb_neg_to,
     e_neg_b = e_neg.reshape(B, 2 * neg_to_pos_ratio)
     margins = jnp.maximum(alpha + e_pos[:, None] - e_neg_b, 0.0)
     return jnp.sum(margins), (e_pos, e_neg)
+
+
+def variant_loss(variant: str, emb_pos_from, emb_pos_to, emb_neg_from,
+                 emb_neg_to, *, energy: str, alpha: float,
+                 neg_to_pos_ratio: int, **energy_kw):
+    """Dispatch over the joint trainers' loss variants: 'margin' (the
+    reference hypernym losses), 'vendrov' (v1 prototype caption ranking),
+    'nll' (SimpleEuclideanEmbLoss). Returns (loss, (e_pos, e_neg))."""
+    embs = (emb_pos_from, emb_pos_to, emb_neg_from, emb_neg_to)
+    if variant == "vendrov":
+        return vendrov_ranking_loss(*embs, energy=energy, alpha=alpha,
+                                    neg_to_pos_ratio=neg_to_pos_ratio,
+                                    **energy_kw)
+    if variant == "nll":
+        return simple_euclidean_nll_loss(
+            *embs, neg_to_pos_ratio=neg_to_pos_ratio)
+    return margin_loss(*embs, energy=energy, alpha=alpha, **energy_kw)
 
 
 def eval_edge_energies(emb_from, emb_to, status, *, energy: str, alpha: float,

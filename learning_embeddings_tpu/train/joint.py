@@ -182,22 +182,14 @@ class JointEmbeddingTrainer:
         node_emb = self.node_embeddings
 
         def loss_fn(params, pos_from, pos_to, neg_from, neg_to):
-            embs = (node_emb(params, pos_from), node_emb(params, pos_to),
-                    node_emb(params, neg_from), node_emb(params, neg_to))
-            if cfg.loss_variant == "vendrov":
-                from ..losses.margin import vendrov_ranking_loss
+            from ..losses.margin import variant_loss
 
-                loss, (e_pos, e_neg) = vendrov_ranking_loss(
-                    *embs, energy=cfg.energy, alpha=cfg.alpha,
-                    neg_to_pos_ratio=cfg.neg_to_pos_ratio, **energy_kw)
-            elif cfg.loss_variant == "nll":
-                from ..losses.margin import simple_euclidean_nll_loss
-
-                loss, (e_pos, e_neg) = simple_euclidean_nll_loss(
-                    *embs, neg_to_pos_ratio=cfg.neg_to_pos_ratio)
-            else:
-                loss, (e_pos, e_neg) = margin_loss(
-                    *embs, energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
+            loss, (e_pos, e_neg) = variant_loss(
+                cfg.loss_variant,
+                node_emb(params, pos_from), node_emb(params, pos_to),
+                node_emb(params, neg_from), node_emb(params, neg_to),
+                energy=cfg.energy, alpha=cfg.alpha,
+                neg_to_pos_ratio=cfg.neg_to_pos_ratio, **energy_kw)
             return loss, (e_pos, e_neg)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -140,24 +140,16 @@ class JointCNNTrainer:
                 img_embs, mutated = self.featcnn.apply(
                     {"params": params["images"], "batch_stats": batch_stats},
                     pixels, train=True, mutable=["batch_stats"])
-            embs = (emb(params, img_embs, pf, pix_pf),
-                    emb(params, img_embs, pt, pix_pt),
-                    emb(params, img_embs, nf, pix_nf),
-                    emb(params, img_embs, nt, pix_nt))
-            if cfg.loss_variant == "vendrov":
-                from ..losses.margin import vendrov_ranking_loss
+            from ..losses.margin import variant_loss
 
-                loss, (e_pos, e_neg) = vendrov_ranking_loss(
-                    *embs, energy=cfg.energy, alpha=cfg.alpha,
-                    neg_to_pos_ratio=cfg.neg_to_pos_ratio, **energy_kw)
-            elif cfg.loss_variant == "nll":
-                from ..losses.margin import simple_euclidean_nll_loss
-
-                loss, (e_pos, e_neg) = simple_euclidean_nll_loss(
-                    *embs, neg_to_pos_ratio=cfg.neg_to_pos_ratio)
-            else:
-                loss, (e_pos, e_neg) = margin_loss(
-                    *embs, energy=cfg.energy, alpha=cfg.alpha, **energy_kw)
+            loss, (e_pos, e_neg) = variant_loss(
+                cfg.loss_variant,
+                emb(params, img_embs, pf, pix_pf),
+                emb(params, img_embs, pt, pix_pt),
+                emb(params, img_embs, nf, pix_nf),
+                emb(params, img_embs, nt, pix_nt),
+                energy=cfg.energy, alpha=cfg.alpha,
+                neg_to_pos_ratio=cfg.neg_to_pos_ratio, **energy_kw)
             return loss, (mutated["batch_stats"], e_pos, e_neg)
 
         @jax.jit
