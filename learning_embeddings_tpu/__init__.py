@@ -29,4 +29,4 @@ eval       metrics, threshold sweeps, reconstruction, reports
 cli        entry points mirroring the reference drivers
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -17,7 +17,7 @@ from ..data.workloads import (
 )
 from ..train.classifier import ClassifierConfig
 from ..train.runner import run_classifier
-from .common import manifest_from_args
+from .common import inverse_class_weights, manifest_from_args
 
 LOSS_MAP = {
     "multi_level": "multi_level_ce",

@@ -57,15 +57,18 @@ def _read_xlsx_rows(path: str) -> List[list]:
             if local(row.tag) != "row":
                 continue
             cells: Dict[int, object] = {}
+            next_ci = 1   # cells without an r= attribute are positional:
+            #               they follow the previous cell (spreadsheetml)
             for c in row:
                 if local(c.tag) != "c":
                     continue
                 m = re.match(r"([A-Z]+)", c.attrib.get("r", ""))
-                if not m:
-                    continue
-                ci = 0
-                for ch in m.group(1):
-                    ci = ci * 26 + ord(ch) - 64
+                if m:
+                    ci = 0
+                    for ch in m.group(1):
+                        ci = ci * 26 + ord(ch) - 64
+                else:
+                    ci = next_ci
                 t = c.attrib.get("t", "n")
                 v = None
                 if t == "inlineStr":
@@ -78,6 +81,7 @@ def _read_xlsx_rows(path: str) -> List[list]:
                     if v is not None and t == "s":
                         v = shared[int(v)]
                 cells[ci - 1] = v
+                next_ci = ci + 1
             width = max(cells) + 1 if cells else 0
             rows.append([cells.get(i) for i in range(width)])
     return rows
@@ -102,6 +106,9 @@ def generate_database_from_xlsx(xlsx_path: str, json_path: str,
         if mini and i >= 10:
             break
         token = str(uuid.uuid4())
+        # writers drop trailing empty <c> elements — pad so those columns
+        # become "" (matching the openpyxl path) instead of vanishing keys
+        row = list(row) + [None] * (len(header) - len(row))
         rec = {k: ("" if v is None else v) for k, v in zip(header, row)}
         rec["token"] = token
         db[token] = rec

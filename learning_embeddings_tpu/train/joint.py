@@ -37,7 +37,7 @@ from ..eval import best_threshold_metrics, reconstruction_metrics
 from ..eval.ranking import joint_classification_metrics
 from ..geometry import ENERGY_FNS
 from ..losses.joint_sampling import JointGraph, make_joint_negative_sampler
-from ..losses.margin import margin_loss
+from ..losses.margin import variant_loss
 from ..models.embedder import FeatNet, LabelEmbedder
 from ..optim.rsgd import (
     project_annulus_tree,
@@ -123,10 +123,15 @@ class JointEmbeddingTrainer:
     # ------------------------------------------------------------------
     def _make_optimizer(self):
         cfg = self.cfg
+        if cfg.optimizer_labels in ("rsgd", "radam") and \
+                cfg.energy != "hyp_cone":
+            # match EmbeddingTrainer: Riemannian optimizers are for the
+            # Poincare ball, not a silent fall-through to plain adam
+            raise ValueError(f"{cfg.optimizer_labels} requires the "
+                             "hyperbolic-cone energy")
         if cfg.optimizer_labels == "rsgd":
             label_tx = riemannian_sgd(cfg.lr_labels, self.K)
-        elif (cfg.optimizer_labels == "radam"
-              and self.cfg.energy == "hyp_cone"):
+        elif cfg.optimizer_labels == "radam":
             label_tx = riemannian_adam(cfg.lr_labels, self.K)
         elif self.cfg.energy == "hyp_cone":
             label_tx = optax.chain(scale_by_conformal_factor(),
@@ -182,8 +187,6 @@ class JointEmbeddingTrainer:
         node_emb = self.node_embeddings
 
         def loss_fn(params, pos_from, pos_to, neg_from, neg_to):
-            from ..losses.margin import variant_loss
-
             loss, (e_pos, e_neg) = variant_loss(
                 cfg.loss_variant,
                 node_emb(params, pos_from), node_emb(params, pos_to),

@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from ..losses.joint_sampling import JointGraph, sample_joint_negatives_np
-from ..losses.margin import margin_loss
+from ..losses.margin import variant_loss
 from ..models.embedder import FeatCNN, LabelEmbedder
 from ..ops.image import device_scale
 from ..optim.rsgd import (project_annulus_tree, riemannian_adam,
@@ -100,9 +100,13 @@ class JointCNNTrainer:
 
     def _make_optimizer(self):
         cfg = self.cfg
+        if cfg.optimizer_labels in ("rsgd", "radam") and \
+                cfg.energy != "hyp_cone":
+            raise ValueError(f"{cfg.optimizer_labels} requires the "
+                             "hyperbolic-cone energy")
         if cfg.optimizer_labels == "rsgd":
             label_tx = riemannian_sgd(cfg.lr_labels, self.K)
-        elif cfg.optimizer_labels == "radam" and cfg.energy == "hyp_cone":
+        elif cfg.optimizer_labels == "radam":
             label_tx = riemannian_adam(cfg.lr_labels, self.K)
         elif cfg.energy == "hyp_cone":
             label_tx = optax.chain(scale_by_conformal_factor(),
@@ -140,8 +144,6 @@ class JointCNNTrainer:
                 img_embs, mutated = self.featcnn.apply(
                     {"params": params["images"], "batch_stats": batch_stats},
                     pixels, train=True, mutable=["batch_stats"])
-            from ..losses.margin import variant_loss
-
             loss, (e_pos, e_neg) = variant_loss(
                 cfg.loss_variant,
                 emb(params, img_embs, pf, pix_pf),
@@ -235,7 +237,13 @@ class JointCNNTrainer:
         e = self.train_edges
         keep = (~np.isin(lvl_of[e[:, 0]], hidden)
                 & ~np.isin(lvl_of[e[:, 1]], hidden))
-        return e[keep] if keep.any() else self.train_edges
+        if not keep.any():
+            raise ValueError(
+                f"curriculum stage hiding levels {hidden} leaves no "
+                "training edges — fix the schedule (the fc7 trainer "
+                "rejects this too rather than silently training on "
+                "hidden-level edges)")
+        return e[keep]
 
     def train_epoch(self, epoch: int, rng: np.random.RandomState):
         stage = self._stage_edges()

@@ -47,10 +47,12 @@ def _eval_pass(trainer, pipe, order):
     eval tails are padded to the full batch (sharding needs even shards)
     and the padded rows are dropped from the results."""
     bs = trainer.cfg.batch_size
-    scores, labels, multihots, losses = [], [], [], []
+    scores, labels, multihots = [], [], []
+    loss_sum, loss_rows = 0.0, 0
     for batch in pipe.batches(order):
         n = len(batch["image"])
-        if trainer.mesh is not None and n < bs:
+        padded = trainer.mesh is not None and n < bs
+        if padded:
             batch = {k: np.concatenate(
                 [v, np.repeat(v[-1:], bs - n, axis=0)]) for k, v in
                 batch.items()}
@@ -60,9 +62,14 @@ def _eval_pass(trainer, pipe, order):
         scores.append(np.asarray(s)[:n])
         labels.append(batch["level_labels"][:n])
         multihots.append(batch["multihot"][:n])
-        losses.append(float(loss) * n)
+        if not padded:
+            # a padded tail's batch-mean loss includes the duplicated
+            # padding rows — keep the loss average exact by counting
+            # full batches only (scores/labels are sliced either way)
+            loss_sum += float(loss) * n
+            loss_rows += n
     return (np.concatenate(scores), np.concatenate(labels),
-            np.concatenate(multihots), sum(losses))
+            np.concatenate(multihots), loss_sum, max(loss_rows, 1))
 
 
 def _classifier_metrics(evaluator: str, scores, level_labels, multihot,
@@ -212,7 +219,7 @@ def run_classifier(
             logger.scalar(f"profile/{name}_ms", ms, 0)
 
     def evaluate(split, epoch, tag):
-        scores, ll, mh, loss = _eval_pass(
+        scores, ll, mh, loss, loss_rows = _eval_pass(
             trainer, pipes[split], np.arange(len(datasets[split])))
         nonlocal thresholds
         if evaluator == "ML" and split == "val":
@@ -222,7 +229,7 @@ def run_classifier(
         m, flat, score = _classifier_metrics(
             evaluator, scores, ll, mh, labelmap, thresholds)
         logger.scalars(tag, flat, epoch)
-        logger.scalar(f"{tag}/loss", loss / max(len(datasets[split]), 1), epoch)
+        logger.scalar(f"{tag}/loss", loss / loss_rows, epoch)
         _write_level_report(exp, tag, epoch, flat)
         if cfg.head_override == "bottleneck2d":
             # per-eval 2-d label-vector plot (the ETHEC2D behavior,

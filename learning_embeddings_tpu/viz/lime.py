@@ -21,6 +21,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# pixel-count x center-count threshold above which the SLIC assignment
+# switches to the chunked distance path (patchable in tests)
+_DENSE_LIMIT = 4_000_000
+
 
 def slic_segments(image: np.ndarray, n_segments: int = 64,
                   compactness: float = 0.2, n_iter: int = 10) -> np.ndarray:
@@ -60,7 +64,7 @@ def slic_segments(image: np.ndarray, n_segments: int = 64,
     for _ in range(n_iter):
         # full pairwise distances (N_pix x N_centers); fine at this scale
         d = ((feats[:, None, :] - centers[None, :, :]) ** 2).sum(-1) \
-            if feats.shape[0] * centers.shape[0] <= 4_000_000 else None
+            if feats.shape[0] * centers.shape[0] <= _DENSE_LIMIT else None
         if d is None:  # chunk over pixels for big images
             d = np.empty((feats.shape[0], centers.shape[0]), np.float32)
             for s in range(0, feats.shape[0], 65536):

@@ -21,20 +21,19 @@ def test_slic_segments_cover_and_count():
     assert np.array_equal(seg, slic_segments(img, n_segments=16))
 
 
-def test_slic_chunked_path_matches_dense():
-    """Images past the 4M pixel×center threshold take the chunked distance
-    path — it must produce the same segmentation as the dense path."""
+def test_slic_chunked_path_matches_dense(monkeypatch):
+    """The chunked distance path must produce the exact segmentation of
+    the dense path on the same image."""
     from learning_embeddings_tpu.viz import lime as L
 
     rng = np.random.RandomState(2)
-    img = rng.rand(300, 300, 3).astype(np.float32)   # 90000 px
-    seg_chunked = slic_segments(img, n_segments=49)  # 90000*49 > 4M
-    assert seg_chunked.shape == (300, 300)
-    n = seg_chunked.max() + 1
-    assert set(np.unique(seg_chunked)) == set(range(n))
-    # small image (dense path) on a downsampled copy stays consistent in
-    # structure: full coverage, deterministic
-    assert np.array_equal(seg_chunked, slic_segments(img, n_segments=49))
+    img = rng.rand(60, 60, 3).astype(np.float32)
+    dense = slic_segments(img, n_segments=9)         # 3600*9 << limit
+    monkeypatch.setattr(L, "_DENSE_LIMIT", 1)        # force chunked path
+    chunked = slic_segments(img, n_segments=9)
+    assert np.array_equal(dense, chunked)
+    n = chunked.max() + 1
+    assert set(np.unique(chunked)) == set(range(n))
 
 
 def test_slic_respects_color_regions():

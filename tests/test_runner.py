@@ -168,9 +168,12 @@ def test_eval_pass_pads_ragged_tail_on_mesh(class_setup, tmp_path):
     pipe = ImagePipeline(ds, lm, "", image_size=cfg.image_size,
                          batch_size=8, train=False, num_workers=2)
     n = min(len(ds), 11)   # 8 + ragged 3
-    scores, ll, mh, loss = _eval_pass(trainer, pipe, np.arange(n))
+    scores, ll, mh, loss, loss_rows = _eval_pass(trainer, pipe, np.arange(n))
     assert scores.shape[0] == n and ll.shape[0] == n and mh.shape[0] == n
     assert np.isfinite(loss)
+    # the padded tail batch is excluded from the loss average (its batch
+    # mean includes duplicated padding rows); only the full batch counts
+    assert loss_rows == 8
 
 
 def test_profile_flag_writes_trace(class_setup, tmp_path):

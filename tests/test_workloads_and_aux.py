@@ -281,3 +281,44 @@ def test_generate_database_from_xlsx(tmp_path):
                                           str(tmp_path / "mini.json"),
                                           mini=True)
     assert len(db_mini) == 10
+
+
+def test_xlsx_trailing_empty_and_positional_cells(tmp_path):
+    """Writers drop trailing empty <c> elements and may omit r= refs —
+    trailing columns must come back as "" (openpyxl parity), positional
+    cells must land in the next column."""
+    import zipfile
+
+    from learning_embeddings_tpu.data.build_db import (
+        generate_database_from_xlsx)
+
+    sheet = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>image_name</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>family</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>specific_epithet</t></is></c>'
+        '</row>'
+        # row 2: trailing empty specific_epithet cell omitted entirely
+        '<row r="2">'
+        '<c r="A2" t="inlineStr"><is><t>im_0.jpg</t></is></c>'
+        '<c r="B2" t="inlineStr"><is><t>Pieridae</t></is></c>'
+        '</row>'
+        # row 3: second+third cells have no r= -> positional (B3, C3)
+        '<row r="3">'
+        '<c r="A3" t="inlineStr"><is><t>im_1.jpg</t></is></c>'
+        '<c t="inlineStr"><is><t>Nymphalidae</t></is></c>'
+        '<c t="inlineStr"><is><t>rapae</t></is></c>'
+        '</row>'
+        '</sheetData></worksheet>')
+    xlsx = tmp_path / "edge.xlsx"
+    with zipfile.ZipFile(xlsx, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    db = generate_database_from_xlsx(str(xlsx), str(tmp_path / "edge.json"))
+    recs = sorted(db.values(), key=lambda r: r["image_name"])
+    assert recs[0]["family"] == "Pieridae"
+    assert recs[0]["specific_epithet"] == ""     # padded, not missing
+    assert recs[1]["family"] == "Nymphalidae"    # positional cell -> col B
+    assert recs[1]["specific_epithet"] == "rapae"
