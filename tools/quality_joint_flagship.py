@@ -41,10 +41,13 @@ N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 35
 # 'compressed' (reference schedule / 4) or 'reference' (verbatim
 # {0:[1,2,3],20:[2,3],50:[3],100:[]}, oe_h.py:1534-1536)
 SCHEDULE = sys.argv[2] if len(sys.argv) > 2 else "compressed"
+OPT = sys.argv[3] if len(sys.argv) > 3 else "adam"   # adam | radam | rsgd
 NAME = ("joint_flagship_curriculum" if N_EPOCHS == 35
         else f"joint_flagship_curriculum_{N_EPOCHS}ep")
 if SCHEDULE != "compressed":
     NAME += f"_{SCHEDULE}"
+if OPT != "adam":
+    NAME += f"_{OPT}"
 CURRICULA = {
     "compressed": {0: (1, 2, 3), 5: (2, 3), 12: (3,), 25: ()},
     "reference": {0: (1, 2, 3), 20: (2, 3), 50: (3,), 100: ()},
@@ -53,7 +56,7 @@ CURRICULA = {
 cfg = JointTrainerConfig(
     energy="hyp_cone", embedding_dim=10, feature_dim=D,
     lr_labels=1e-3, lr_images=1e-3, batch_size=50,
-    neg_to_pos_ratio=5, alpha=0.05, optimizer_labels="adam",
+    neg_to_pos_ratio=5, alpha=0.05, optimizer_labels=OPT,
     pick_per_level=True, half_half=True,
     curriculum=CURRICULA[SCHEDULE],
     seed=0)
