@@ -63,17 +63,38 @@ def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray, n_classes: int) -> jnp.
     return oh_gt.T @ oh_pr
 
 
+def prf1_from_counts(tp, pred_count, support, degenerate_one: bool):
+    """Guarded per-class precision/recall/F1 from counts.
+
+    degenerate_one: classes with tp == fp == fn == 0 (no support, never
+    predicted) score 1.0 — the reference MetricsMultiLevel convention
+    (evaluation.py:518-522). The joint classification metrics instead use
+    0.0 for such classes (oe_h.py:2071-2086), so callers choose."""
+    tp = np.asarray(tp, np.float64)
+    pred_count = np.asarray(pred_count, np.float64)
+    support = np.asarray(support, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        prec = np.where(pred_count > 0, tp / np.maximum(pred_count, 1e-30),
+                        0.0)
+        rec = np.where(support > 0, tp / np.maximum(support, 1e-30), 0.0)
+        pr = prec + rec
+        f1 = np.where(pr > 0, 2 * prec * rec / np.maximum(pr, 1e-30), 0.0)
+    if degenerate_one:
+        degen = (pred_count == 0) & (support == 0)
+        prec = np.where(degen, 1.0, prec)
+        rec = np.where(degen, 1.0, rec)
+        f1 = np.where(degen, 1.0, f1)
+    return prec, rec, f1
+
+
 def level_metrics_from_confusion(cm: np.ndarray) -> LevelMetrics:
     cm = np.asarray(cm, np.float64)
     tp = np.diag(cm)
     support = cm.sum(axis=1)          # gt counts
     pred_count = cm.sum(axis=0)
     total = cm.sum()
-    with np.errstate(invalid="ignore", divide="ignore"):
-        prec = np.where(pred_count > 0, tp / np.maximum(pred_count, 1e-30), 0.0)
-        rec = np.where(support > 0, tp / np.maximum(support, 1e-30), 0.0)
-        pr = prec + rec
-        f1 = np.where(pr > 0, 2 * prec * rec / np.maximum(pr, 1e-30), 0.0)
+    prec, rec, f1 = prf1_from_counts(tp, pred_count, support,
+                                     degenerate_one=True)
     acc = float(tp.sum() / max(total, 1.0))
     # micro: tp_sum / (tp_sum + fp_sum) == accuracy for single-label levels
     micro_p = micro_r = micro_f1 = acc
@@ -123,10 +144,7 @@ def multilevel_metrics(
     tp = np.concatenate([np.diag(c) for c in cms])
     sup = np.concatenate([c.sum(1) for c in cms])
     pc = np.concatenate([c.sum(0) for c in cms])
-    with np.errstate(invalid="ignore", divide="ignore"):
-        prec = np.where(pc > 0, tp / np.maximum(pc, 1e-30), 0.0)
-        rec = np.where(sup > 0, tp / np.maximum(sup, 1e-30), 0.0)
-        f1 = np.where(prec + rec > 0, 2 * prec * rec / np.maximum(prec + rec, 1e-30), 0.0)
+    prec, rec, f1 = prf1_from_counts(tp, pc, sup, degenerate_one=True)
     out["macro"] = {
         "precision": float(prec.mean()),
         "recall": float(rec.mean()),

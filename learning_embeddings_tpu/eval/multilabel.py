@@ -73,12 +73,19 @@ def tune_single_threshold(scores: np.ndarray, multihot: np.ndarray) -> float:
     s = scores.reshape(-1)
     y = multihot.reshape(-1) > 0
     order = np.argsort(-s)                       # descending
+    s_sorted = s[order]
     tp = np.cumsum(y[order])
     fp = np.cumsum(~y[order])
+    # with score >= t semantics a run of TIED scores is all-or-nothing:
+    # only the LAST position of each tied run is an attainable operating
+    # point (mid-run cumsums describe predictions no threshold can make)
+    last_of_run = np.ones(len(s_sorted), bool)
+    last_of_run[:-1] = s_sorted[:-1] != s_sorted[1:]
+    tp, fp = tp[last_of_run], fp[last_of_run]
     prec = tp / np.maximum(tp + fp, 1)
     rec = tp / max(y.sum(), 1)
     f1 = _f1(prec, rec)
-    return float(s[order][int(np.argmax(f1))])
+    return float(s_sorted[last_of_run][int(np.argmax(f1))])
 
 
 def _binary_stats(pred: np.ndarray, corr: np.ndarray, idx) -> Dict[str, np.ndarray]:
@@ -105,15 +112,17 @@ def multilabel_metrics(
     pred = scores >= th[None, :]
     corr = multihot > 0
 
-    def subset(idx):
+    def subset(idx, degenerate_one=False):
+        # per-level metrics go through the reference's MetricsMultiLevel
+        # (degenerate classes -> 1.0, evaluation.py:518-522); the global
+        # block keeps the sklearn 0.0 convention like the reference's
+        # Metrics class
+        from .metrics import prf1_from_counts
+
         s = _binary_stats(pred, corr, idx)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            prec = np.where(s["tp"] + s["fp"] > 0,
-                            s["tp"] / np.maximum(s["tp"] + s["fp"], 1), 0.0)
-            rec = np.where(s["tp"] + s["fn"] > 0,
-                           s["tp"] / np.maximum(s["tp"] + s["fn"], 1), 0.0)
-            f1 = np.where(prec + rec > 0,
-                          2 * prec * rec / np.maximum(prec + rec, 1e-30), 0.0)
+        prec, rec, f1 = prf1_from_counts(
+            s["tp"], s["tp"] + s["fp"], s["tp"] + s["fn"],
+            degenerate_one=degenerate_one)
         Tp, Fp, Fn = s["tp"].sum(), s["fp"].sum(), s["fn"].sum()
         micro_p = Tp / max(Tp + Fp, 1)
         micro_r = Tp / max(Tp + Fn, 1)
@@ -135,7 +144,7 @@ def multilabel_metrics(
     out: Dict[str, object] = {"global": subset(np.arange(scores.shape[1]))}
     for l, name in enumerate(labelmap.level_names):
         a, b = int(labelmap.level_start[l]), int(labelmap.level_stop[l])
-        out[name] = subset(np.arange(a, b))
+        out[name] = subset(np.arange(a, b), degenerate_one=True)
     return out
 
 

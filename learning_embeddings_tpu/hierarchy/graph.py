@@ -42,7 +42,11 @@ def transitive_closure(adj: np.ndarray) -> np.ndarray:
     (reference order_embeddings.py:371)."""
     reach = adj.astype(bool).copy()
     while True:
-        new = reach | (reach.astype(np.uint8) @ reach.astype(np.uint8) > 0)
+        # float32 matmul: path COUNTS can exceed 255, so uint8 would wrap
+        # mod 256 and silently drop reachable edges (any positive float32
+        # sum stays > 0 — addition of positives never rounds to zero)
+        new = reach | (reach.astype(np.float32) @ reach.astype(np.float32)
+                       > 0)
         if (new == reach).all():
             return new
         reach = new

@@ -150,3 +150,41 @@ def test_render_tsne_with_animation(tmp_path):
     for l in range(2):
         assert (tmp_path / f"tsne_level{l}.png").exists()
         assert (tmp_path / f"tsne_level{l}.gif").exists()
+
+
+def test_single_threshold_handles_tied_scores():
+    """A run of tied scores is all-or-nothing under score >= t — mid-run
+    cumsum points are unattainable and must not be selected (regression:
+    [0.9 pos, 0.5 pos, 0.5 neg x8] used to return t=0.5, true F1 0.33,
+    instead of t=0.9, F1 0.67)."""
+    from learning_embeddings_tpu.eval.multilabel import tune_single_threshold
+
+    scores = np.array([[0.9, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]])
+    multihot = np.array([[1, 1, 0, 0, 0, 0, 0, 0, 0, 0]])
+    t = tune_single_threshold(scores, multihot)
+    assert t == 0.9
+    # F1 at the returned threshold (pred = score >= t) beats t=0.5's
+    pred_t = (scores >= t).astype(int)
+    tp = int((pred_t & multihot).sum())
+    f1_t = 2 * tp / (pred_t.sum() + multihot.sum())
+    pred_5 = (scores >= 0.5).astype(int)
+    tp5 = int((pred_5 & multihot).sum())
+    f1_5 = 2 * tp5 / (pred_5.sum() + multihot.sum())
+    assert f1_t > f1_5
+
+
+def test_degenerate_class_scores_one_like_reference():
+    """Classes with tp == fp == fn == 0 (no support, never predicted)
+    score precision/recall/F1 = 1.0 — the reference MetricsMultiLevel
+    convention (evaluation.py:518-522), NOT sklearn's 0.0."""
+    from learning_embeddings_tpu.eval.metrics import (
+        level_metrics_from_confusion, prf1_from_counts)
+
+    cm = np.array([[2, 0, 0], [0, 2, 0], [0, 0, 0]], np.float64)
+    lv = level_metrics_from_confusion(cm)
+    np.testing.assert_allclose(lv.per_class_f1, [1.0, 1.0, 1.0])
+    assert lv.f1_macro == 1.0            # reference: 1.0, sklearn: 0.667
+    # the joint-metrics convention (oe_h.py:2071-2086) stays 0.0
+    p, r, f1 = prf1_from_counts([2, 0], [2, 0], [2, 0],
+                                degenerate_one=False)
+    np.testing.assert_allclose(f1, [1.0, 0.0])

@@ -85,3 +85,16 @@ def test_split_edges_protocol():
     # negatives exclude closure & diagonal
     assert not (splits.negatives & splits.closure).any()
     assert not splits.negatives.diagonal().any()
+
+
+def test_transitive_closure_many_paths_no_overflow():
+    """Path COUNTS through the closure can exceed 255 — the reachability
+    squaring must not wrap (uint8 matmul regression: root -> 256 middles ->
+    sink used to lose the root->sink edge)."""
+    n = 258
+    adj = np.zeros((n, n), bool)
+    adj[0, 1:257] = True      # root -> 256 middle nodes
+    adj[1:257, 257] = True    # each middle -> sink
+    closure = transitive_closure(adj)
+    assert closure[0, 257]
+    assert closure[0].sum() == 257   # root reaches everything
