@@ -61,7 +61,8 @@ def _resize(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
         return out[..., None] if out.ndim == 2 else out
     from PIL import Image  # pragma: no cover
 
-    return np.asarray(Image.fromarray(img.squeeze()).resize((hw[1], hw[0])))
+    out = np.asarray(Image.fromarray(img.squeeze()).resize((hw[1], hw[0])))
+    return out[..., None] if out.ndim == 2 else out
 
 
 def augment_train(img: np.ndarray, size: int, rng: np.random.RandomState,
@@ -147,7 +148,8 @@ class ImagePipeline:
         self._native = False
         if (not hasattr(dataset, "images") and augment == "ethec"
                 and normalize is None and len(dataset.image_paths) > 0
-                and dataset.image_paths[0].lower().endswith((".jpg", ".jpeg"))):
+                and all(p.lower().endswith((".jpg", ".jpeg"))
+                        for p in dataset.image_paths)):
             from . import native_loader
 
             self._native = native_loader.available()
@@ -238,7 +240,15 @@ class ImagePipeline:
                         "multihot": self._multihot[idx],
                         "index": np.asarray(idx),
                     }
-                    out_q.put(batch)
+                    # stop-aware put: a consumer that abandons the
+                    # generator mid-epoch stops draining the bounded
+                    # queue — a plain put would block this thread forever
+                    while not stop.is_set():
+                        try:
+                            out_q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -52,6 +52,17 @@ def image_relpath(rec: Mapping) -> str:
     return os.path.join(rec.get("image_path", ""), rec["image_name"])
 
 
+def multihot_from_level_labels(level_labels: np.ndarray,
+                               labelmap) -> np.ndarray:
+    """(N, n_classes) multi-hot over all levels (the reference's 723-d
+    'labels' vector, db.py:3826-3830)."""
+    n = len(level_labels)
+    mh = np.zeros((n, labelmap.n_classes), np.float32)
+    glob = level_labels + labelmap.level_start[None, :]
+    mh[np.arange(n)[:, None], glob] = 1.0
+    return mh
+
+
 @dataclasses.dataclass
 class EncodedDataset:
     """Array-encoded dataset ready for the input pipeline."""
@@ -65,10 +76,7 @@ class EncodedDataset:
         return len(self.leaf_labels)
 
     def multihot(self, labelmap) -> np.ndarray:
-        mh = np.zeros((len(self), labelmap.n_classes), np.float32)
-        glob = self.level_labels + labelmap.level_start[None, :]
-        mh[np.arange(len(self))[:, None], glob] = 1.0
-        return mh
+        return multihot_from_level_labels(self.level_labels, labelmap)
 
 
 def encode_records(records: Sequence[Mapping], labelmap) -> EncodedDataset:

@@ -162,10 +162,9 @@ class ArrayDataset:
         return len(self.leaf_labels)
 
     def multihot(self, labelmap) -> np.ndarray:
-        mh = np.zeros((len(self), labelmap.n_classes), np.float32)
-        glob = self.level_labels + labelmap.level_start[None, :]
-        mh[np.arange(len(self))[:, None], glob] = 1.0
-        return mh
+        from .records import multihot_from_level_labels
+
+        return multihot_from_level_labels(self.level_labels, labelmap)
 
 
 def load_cifar10(root: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -168,7 +168,10 @@ def make_masked_ce(labelmap, level_weights=None):
             total = total + float(lw[l]) * loss_l
             wrong_so_far = wrong_so_far | (pred_l != level_labels[:, l])
             pred_prev = pred_l
-        return outputs_new, jnp.mean(total)
+        # the reference accumulates (1,)-shaped reduction='none' CE terms
+        # into one scalar, so its final torch.mean over that 1-element
+        # tensor is the batch SUM, not the mean (loss.py:125-166)
+        return outputs_new, jnp.sum(total)
 
     return loss_fn
 

@@ -14,19 +14,23 @@ Hence membership in the negative adjacency is decidable from (a) the small
 label-closure matrix and (b) each image's (L,) ancestor path — no dense
 matrix needed. Sampling stays uniform over exactly the same candidate sets:
 
-corrupt 'to' given u (pass at label level l):
+corrupt 'to' given anchor u (pass at label level l):
     u label : level-l labels − descendants(u) − {u}
     u image : all level-l labels                    (images have no out-edges)
-corrupt 'to' given u (pass at image level L):
-    edge has an image end → labels − descendants(u) − {u}  (reference picks
-    labels when either end is an image, oe_h.py:869-873)
-    pure label edge      → images that are NOT descendants of u
-corrupt 'from' given v (label level l):
+corrupt 'to' given anchor u (pass at image level L):
+    u label : images that are NOT descendants of u
+    u image : labels − descendants(u) − {u}
+corrupt 'from' given anchor v (label level l):
     v label : level-l labels − ancestors(v) − {v}
     v image : level-l labels − {v's ancestor at level l}
-corrupt 'from' given v (image level L):
-    edge has an image end → labels − ancestors(v) − {v}
-    pure label edge      → all images (images never reach labels)
+corrupt 'from' given anchor v (image level L):
+    v label : all images (images never reach labels)
+    v image : labels − ancestors(v) − {v}
+
+The image-pass type rule follows the ANCHOR (the kept endpoint), not the
+edge: the reference's `type(u/v) == str` test (oe_h.py:869-873) only ever
+sees the anchor — the corrupted side is passed as None at the call sites
+(oe_h.py:970/975).
 
 Curriculum `levels_to_hide` removes those levels from the pass cycle
 (oe_h.py:850-856).
@@ -240,14 +244,21 @@ def make_joint_negative_sampler(
                 cols.append(_categorical(
                     keys[r], lab_mask & level_label_masks[lvl][None]))
             else:
-                # image-level pass
+                # image-level pass: the corrupted node's TYPE follows the
+                # ANCHOR, not the edge — the reference's type(u/v)==str
+                # test (oe_h.py:869-873) only ever sees the kept endpoint
+                # (calls pass the other as None, oe_h.py:970/975): a label
+                # anchor corrupts with an IMAGE, an image anchor with a
+                # LABEL. ('from' anchors are always labels here, so
+                # corrupt-'to' always draws images.)
+                anchor_is_image = anchors >= nl
                 if corrupt_to:
                     img_mask = _image_candidates_to(anchors)
                     img_pick = nl + _categorical(keys[r], img_mask)
                 else:
                     img_pick = nl + jax.random.randint(keys[r], (B,), 0, ni)
                 lab_pick = _categorical(keys[r], lab_mask)
-                cols.append(jnp.where(edge_has_image, lab_pick, img_pick))
+                cols.append(jnp.where(anchor_is_image, lab_pick, img_pick))
         return jnp.stack(cols, axis=1)                        # (B, R)
 
     @jax.jit
@@ -318,7 +329,6 @@ def sample_joint_negatives_np(
     neg_to = np.empty(2 * R * B, np.int32)
     for i in range(B):
         u, v = int(pos_from[i]), int(pos_to[i])
-        has_img = u >= nl or v >= nl
         for r in range(R):
             lvl = visible[r % len(visible)] if pick_per_level else None
             # corrupt 'to' given u
@@ -333,7 +343,8 @@ def sample_joint_negatives_np(
                     & (np.arange(nl) < stops[lvl])
                 c = choice(m)
             else:
-                c = (choice(label_cands_to(u)) if has_img
+                # anchor-based type rule (see make_joint_negative_sampler)
+                c = (choice(label_cands_to(u)) if u >= nl
                      else choice(image_cands_to(u), offset=nl))
             neg_from[2 * R * i + r] = u
             neg_to[2 * R * i + r] = c
@@ -349,7 +360,7 @@ def sample_joint_negatives_np(
                     & (np.arange(nl) < stops[lvl])
                 c = choice(m)
             else:
-                c = (choice(label_cands_from(v)) if has_img
+                c = (choice(label_cands_from(v)) if v >= nl
                      else nl + rng.randint(ni))
             neg_from[2 * R * i + r + R] = c
             neg_to[2 * R * i + r + R] = v

@@ -7,7 +7,9 @@ native Flax implementations:
 * NHWC layout (TPU native), bf16 compute / f32 params & batch stats,
 * BatchNorm with torch semantics (momentum 0.1 → flax momentum 0.9,
   eps 1e-5) so imported torchvision weights behave identically,
-* `num_input_channels=1` reproduces the grayscale conv1 surgery
+* grayscale: feed (B, H, W, 1) input — flax infers conv1's input
+  channels, which reproduces the reference's fresh-init 1-channel conv1
+  surgery
   (ethec_experiments.py:222-238),
 * `features_only=True` returns the pooled trunk features (the reference's
   `fc = Identity()` trick for fc7 extraction, order_embeddings_images.py:123).
@@ -155,7 +157,6 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     block: type
     num_classes: Optional[int] = None
-    num_input_channels: int = 3
     dtype: Any = jnp.bfloat16
     features_only: bool = False
     #: rematerialize each residual block in the backward pass — trades
@@ -276,7 +277,6 @@ class AlexNet(nn.Module):
     finetuner.py:117-118)."""
 
     num_classes: Optional[int] = None
-    num_input_channels: int = 3
     dtype: Any = jnp.bfloat16
     features_only: bool = False
     remat: bool = False   # accepted for API uniformity; unused
@@ -313,7 +313,6 @@ class VGG11BN(nn.Module):
     """VGG-11 with batch norm (reference zoo parity, finetuner.py:119-120)."""
 
     num_classes: Optional[int] = None
-    num_input_channels: int = 3
     dtype: Any = jnp.bfloat16
     features_only: bool = False
     remat: bool = False   # accepted for API uniformity; unused

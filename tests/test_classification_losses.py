@@ -180,7 +180,8 @@ def torch_masked_ce(lm, logits, level_labels, level_weights):
             pred_rel = kids_rel[j]
             if pred_rel != int(level_labels[i, l]):
                 found_wrong = True
-    return outputs_new.numpy(), (loss / B).item()
+    # reference: torch.mean over the 1-element accumulator == the SUM
+    return outputs_new.numpy(), loss.item()
 
 
 def test_masked_ce_vs_oracle():

@@ -61,6 +61,44 @@ def test_joint_sampler_only_negatives(setup, pick_per_level):
     assert not (nf == nt).any()
 
 
+def test_joint_sampler_image_pass_type_follows_anchor(setup):
+    """On the image-level pass the corrupted node's type follows the
+    ANCHOR (reference sample_negative_edge sees only the kept endpoint,
+    oe_h.py:869-873 + call sites :970/:975): label anchor -> image
+    negative, image anchor -> label negative. Regression: the old rule
+    keyed on the EDGE type and drew label negatives for the corrupt-'to'
+    side of label->image edges."""
+    lm, graph, train_edges, feats, ll = setup
+    nl, L, R = graph.n_labels, graph.n_levels, graph.n_levels + 1
+    sampler = make_joint_negative_sampler(graph, R, pick_per_level=True)
+    img_edges = train_edges[train_edges[:, 1] >= nl][:8]
+    lab_edges = train_edges[train_edges[:, 1] < nl][:8]
+    for edges in (img_edges, lab_edges):
+        nf, nt = sampler(jax.random.PRNGKey(3),
+                         jnp.asarray(edges[:, 0]), jnp.asarray(edges[:, 1]))
+        B = len(edges)
+        nt2 = np.asarray(nt).reshape(B, 2 * R)[:, :R]   # corrupt-'to' slots
+        nf2 = np.asarray(nf).reshape(B, 2 * R)[:, R:]   # corrupt-'from'
+        # image pass = slot L; 'from' anchors are labels -> image negative
+        assert (nt2[:, L] >= nl).all()
+        # corrupt-'from' on the image pass: image anchor -> label negative,
+        # label anchor -> image negative
+        expect_label = edges[:, 1] >= nl
+        assert ((nf2[:, L] < nl) == expect_label).all()
+    # the numpy mirror implements the same rule
+    from learning_embeddings_tpu.losses.joint_sampling import (
+        sample_joint_negatives_np)
+
+    rng = np.random.RandomState(0)
+    nf, nt = sample_joint_negatives_np(graph, R, rng, img_edges[:, 0],
+                                       img_edges[:, 1],
+                                       pick_per_level=True)
+    B = len(img_edges)
+    nt2 = nf.reshape(B, 2 * R), nt.reshape(B, 2 * R)
+    assert (nt2[1][:, L] >= nl).all()          # label anchor -> image
+    assert (nt2[0][:, R + L] < nl).all()       # image anchor -> label
+
+
 def test_joint_sampler_respects_hidden_levels(setup):
     lm, graph, train_edges, feats, ll = setup
     sampler = make_joint_negative_sampler(
