@@ -213,6 +213,45 @@ def make_joint_negative_sampler(
         anc_at_lvl = img_paths[:, :].T[lvl]                   # (B, ni)
         return anc_at_lvl != u_lab[:, None]
 
+    # O(1)-per-draw uniform sampling over "images NOT descended from u":
+    # per level, sort image rows by their ancestor label — each label's
+    # descendant images form ONE contiguous run [run_start[u], +run_cnt[u])
+    # in that order, so a uniform draw over the complement is a randint
+    # over ni - run_cnt positions plus a skip over the run. Identical
+    # distribution to the (B, ni) masked categorical at a tiny fraction of
+    # its cost (no per-candidate gumbel noise).
+    np_paths = np.asarray(graph.image_paths_global)
+    img_order_by_level = []
+    run_start_np = np.zeros((L, nl), np.int32)
+    run_cnt_np = np.zeros((L, nl), np.int32)
+    for l in range(L):
+        order_l = np.argsort(np_paths[:, l], kind="stable")
+        img_order_by_level.append(order_l)
+        anc = np_paths[order_l, l]
+        for u in range(int(starts[l]), int(stops[l])):
+            lo = np.searchsorted(anc, u, side="left")
+            hi = np.searchsorted(anc, u, side="right")
+            run_start_np[l, u] = lo
+            run_cnt_np[l, u] = hi - lo
+    img_order_by_level = jnp.asarray(np.stack(img_order_by_level))  # (L, ni)
+    run_start = jnp.asarray(run_start_np)
+    run_cnt = jnp.asarray(run_cnt_np)
+    level_of_label = np.zeros(nl, np.int32)
+    for l in range(L):
+        level_of_label[starts[l]:stops[l]] = l
+    level_of_label = jnp.asarray(level_of_label)
+
+    def _sample_image_not_descended(key, u):
+        """(B,) uniform image rows not descended from labels u."""
+        u_lab = jnp.minimum(u, nl - 1)
+        lvl = level_of_label[u_lab]
+        start = run_start[lvl, u_lab]
+        cnt = run_cnt[lvl, u_lab]
+        n_compl = jnp.maximum(ni - cnt, 1)
+        j = jax.random.randint(key, u.shape, 0, n_compl)  # per-element max
+        j = j + jnp.where(j >= start, cnt, 0)
+        return img_order_by_level[lvl, jnp.minimum(j, ni - 1)]
+
     def _sample_side(key, anchors, anchor_other, corrupt_to: bool):
         """(B, R) corrupted node ids for one side."""
         B = anchors.shape[0]
@@ -253,8 +292,8 @@ def make_joint_negative_sampler(
                 # corrupt-'to' always draws images.)
                 anchor_is_image = anchors >= nl
                 if corrupt_to:
-                    img_mask = _image_candidates_to(anchors)
-                    img_pick = nl + _categorical(keys[r], img_mask)
+                    img_pick = nl + _sample_image_not_descended(
+                        keys[r], anchors)
                 else:
                     img_pick = nl + jax.random.randint(keys[r], (B,), 0, ni)
                 lab_pick = _categorical(keys[r], lab_mask)
@@ -315,9 +354,30 @@ def sample_joint_negatives_np(
         m[v] = False
         return m
 
-    def image_cands_to(u):
+    # run-range image-negative draws (same trick as the device sampler):
+    # per level, images sorted by ancestor — a label's descendants form one
+    # contiguous run; uniform over the complement is randint + a skip
+    _orders = {}
+
+    def _run_range(u):
         lvl = int(np.searchsorted(stops, u, side="right"))
-        return img_paths[:, lvl] != u
+        if lvl not in _orders:
+            order_l = np.argsort(img_paths[:, lvl], kind="stable")
+            _orders[lvl] = (order_l, img_paths[order_l, lvl])
+        order_l, anc = _orders[lvl]
+        lo = int(np.searchsorted(anc, u, side="left"))
+        hi = int(np.searchsorted(anc, u, side="right"))
+        return order_l, lo, hi - lo
+
+    def image_not_descended(u):
+        order_l, start, cnt = _run_range(u)
+        n_compl = ni - cnt
+        if n_compl <= 0:
+            return int(rng.randint(ni))
+        j = int(rng.randint(n_compl))
+        if j >= start:
+            j += cnt
+        return int(order_l[j])
 
     def choice(mask, offset=0):
         cand = np.nonzero(mask)[0]
@@ -334,8 +394,11 @@ def sample_joint_negatives_np(
             # corrupt 'to' given u
             if lvl is None:
                 lm = label_cands_to(u)
-                im = (image_cands_to(u) if u < nl
-                      else ~np.eye(1, ni, u - nl, dtype=bool)[0])
+                if u < nl:
+                    lvl_u = int(np.searchsorted(stops, u, side="right"))
+                    im = img_paths[:, lvl_u] != u
+                else:
+                    im = ~np.eye(1, ni, u - nl, dtype=bool)[0]
                 full = np.concatenate([lm, im])
                 c = choice(full)
             elif lvl < L:
@@ -345,7 +408,7 @@ def sample_joint_negatives_np(
             else:
                 # anchor-based type rule (see make_joint_negative_sampler)
                 c = (choice(label_cands_to(u)) if u >= nl
-                     else choice(image_cands_to(u), offset=nl))
+                     else nl + image_not_descended(u))
             neg_from[2 * R * i + r] = u
             neg_to[2 * R * i + r] = c
             # corrupt 'from' given v

@@ -99,6 +99,36 @@ def test_joint_sampler_image_pass_type_follows_anchor(setup):
     assert (nt2[0][:, R + L] < nl).all()       # image anchor -> label
 
 
+def test_image_negative_run_range_sampler_uniform(setup):
+    """The O(1) run-range image-negative sampler must be uniform over
+    exactly the non-descendant images (same distribution as the masked
+    categorical it replaced)."""
+    lm, graph, train_edges, feats, ll = setup
+    nl, L, R = graph.n_labels, graph.n_levels, graph.n_levels + 1
+    sampler = make_joint_negative_sampler(graph, R, pick_per_level=True)
+    anchor = 0                                 # a root label
+    N = 3000
+    pf = jnp.zeros((N,), jnp.int32)
+    pt = jnp.asarray(
+        train_edges[(train_edges[:, 0] == anchor)
+                    & (train_edges[:, 1] >= nl)][0, 1]
+        * np.ones(N, np.int32))
+    nf, nt = sampler(jax.random.PRNGKey(7), pf, pt)
+    picks = np.asarray(nt).reshape(N, 2 * R)[:, L]       # image pass slots
+    assert (picks >= nl).all()
+    rows = picks - nl
+    descended = (graph.image_paths_global[rows] == anchor).any(axis=1)
+    assert not descended.any()
+    # uniformity over the complement: every non-descendant image hit,
+    # counts within chi-square-ish bounds
+    compl = np.nonzero(
+        ~(graph.image_paths_global == anchor).any(axis=1))[0]
+    counts = np.bincount(rows, minlength=graph.n_images)[compl]
+    assert (counts > 0).all()
+    expected = N / len(compl)
+    assert counts.max() < expected * 2.5 and counts.min() > expected * 0.3
+
+
 def test_joint_sampler_respects_hidden_levels(setup):
     lm, graph, train_edges, feats, ll = setup
     sampler = make_joint_negative_sampler(
