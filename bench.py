@@ -114,8 +114,16 @@ def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
     # 15 MB/s host->device link would otherwise dominate the measurement)
     prepared = [trainer.prepare_batch(*batch(i))
                 for i in range(warmup + steps)]
-    n_imgs = sum(int(len(np.unique(np.asarray(p[2]))))
-                 for p in prepared[warmup:])
+
+    def unique_images(p):
+        # every distinct image the CNN tower processes this step: positive
+        # AND negative image nodes (the reference-parity sampler corrupts
+        # label->image edges with image negatives on the image-level pass)
+        ids = np.concatenate([np.asarray(p[j]).reshape(-1)
+                              for j in (1, 2, 3, 4)])
+        return int(len(np.unique(ids[ids >= labelmap.n_classes])))
+
+    n_imgs = sum(unique_images(p) for p in prepared[warmup:])
     for p in prepared[:warmup]:
         loss, _, _ = trainer.train_prepared(p)
     _ = float(loss)
@@ -284,7 +292,9 @@ def main_joint_hostfed(batch_size: int = 16, steps: int = 8,
     t0 = time.perf_counter()
     for i in range(1, steps + 1):
         prepared = prep(i)
-        n_imgs += int(len(np.unique(np.asarray(prepared[2]))))
+        ids = np.concatenate([np.asarray(prepared[j]).reshape(-1)
+                              for j in (1, 2, 3, 4)])
+        n_imgs += int(len(np.unique(ids[ids >= labelmap.n_classes])))
         loss, _, _ = trainer.train_prepared(prepared)
     _ = float(loss)
     dt = time.perf_counter() - t0
