@@ -45,7 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["JointGraph", "build_joint_graph", "make_joint_negative_sampler",
-           "sample_joint_negatives_np", "save_joint_graph", "load_joint_graph"]
+           "sample_joint_negatives_np", "save_joint_graph", "load_joint_graph",
+           "filter_stage_edges"]
 
 
 class JointGraph(NamedTuple):
@@ -143,6 +144,29 @@ def load_joint_graph(path: str):
         level_stop=blob["level_stop"],
     )
     return graph, blob["train_edges"]
+
+
+def filter_stage_edges(graph: JointGraph, train_edges: np.ndarray,
+                       hidden) -> np.ndarray:
+    """Curriculum stage filter: drop every edge touching a hidden label
+    level (oe_h.py:1534-1572). Raises if the stage would be empty — the
+    silent alternative is training on edges from the very levels the
+    curriculum is supposed to hide."""
+    hidden = tuple(hidden)
+    if not hidden:
+        return train_edges
+    g = graph
+    lvl_of = np.full(g.n_labels + g.n_images, g.n_levels, np.int32)
+    for l in range(g.n_levels):
+        lvl_of[g.level_start[l]:g.level_stop[l]] = l
+    e = np.asarray(train_edges)
+    keep = (~np.isin(lvl_of[e[:, 0]], hidden)
+            & ~np.isin(lvl_of[e[:, 1]], hidden))
+    if not keep.any():
+        raise ValueError(
+            f"curriculum stage hiding levels {hidden} leaves no training "
+            "edges — fix the schedule")
+    return e[keep]
 
 
 def make_joint_negative_sampler(

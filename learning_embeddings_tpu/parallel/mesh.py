@@ -32,6 +32,10 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     if n_data is None:
         n_data = len(devices) // n_model
     use = n_data * n_model
+    if use == 0 or use > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) = {use} devices does "
+            f"not fit the {len(devices)} available device(s)")
     grid = np.array(devices[:use]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
 

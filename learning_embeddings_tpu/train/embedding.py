@@ -214,7 +214,13 @@ class EmbeddingTrainer:
         return jnp.asarray(e[..., 0]), jnp.asarray(e[..., 1])
 
     def train_epoch(self, epoch_rng: Optional[np.random.RandomState] = None):
-        rng = epoch_rng or np.random.RandomState(self.cfg.seed)
+        if epoch_rng is None:
+            # persist across calls — a fresh RandomState(seed) per epoch
+            # would repeat the identical edge permutation every epoch
+            if not hasattr(self, "_epoch_rng"):
+                self._epoch_rng = np.random.RandomState(self.cfg.seed)
+            epoch_rng = self._epoch_rng
+        rng = epoch_rng
         pf, pt = self._batched_train_edges(rng)
         self.key, k = jax.random.split(self.key)
         self.params, self.opt_state, _, losses, e_pos, e_neg = self._epoch_fn(

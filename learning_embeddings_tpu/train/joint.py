@@ -36,7 +36,7 @@ import optax
 from ..eval import best_threshold_metrics, reconstruction_metrics
 from ..eval.ranking import joint_classification_metrics
 from ..geometry import ENERGY_FNS
-from ..losses.joint_sampling import JointGraph, make_joint_negative_sampler
+from ..losses.joint_sampling import filter_stage_edges, JointGraph, make_joint_negative_sampler
 from ..losses.margin import variant_loss
 from ..models.embedder import FeatNet, LabelEmbedder
 from ..optim.rsgd import (
@@ -164,12 +164,7 @@ class JointEmbeddingTrainer:
         if hidden in self._stage_cache:
             return self._stage_cache[hidden]
         g = self.graph
-        lvl_of = np.full(g.n_labels + g.n_images, g.n_levels, np.int32)
-        for l in range(g.n_levels):
-            lvl_of[g.level_start[l]:g.level_stop[l]] = l
-        e = self.train_edges
-        keep = ~np.isin(lvl_of[e[:, 0]], hidden) & ~np.isin(lvl_of[e[:, 1]], hidden)
-        edges = e[keep]
+        edges = filter_stage_edges(g, self.train_edges, hidden)
         sampler = make_joint_negative_sampler(
             g, self.cfg.neg_to_pos_ratio,
             pick_per_level=self.cfg.pick_per_level, levels_to_hide=hidden)

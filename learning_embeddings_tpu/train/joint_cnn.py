@@ -191,12 +191,16 @@ class JointCNNTrainer:
         bucket = -(-len(img_rows) // self.cfg.batch_size) * self.cfg.batch_size
         padded = np.resize(img_rows, bucket)
         pixels = self.pixel_loader(padded)
-        row_to_slot = {int(r): s for s, r in enumerate(img_rows)}
 
         def pix_idx(ids):
-            return np.asarray(
-                [row_to_slot.get(int(i) - nl, -1) if i >= nl else -1
-                 for i in ids], np.int32)
+            # img_rows is sorted unique (np.unique output): slot lookup is
+            # a vectorized searchsorted instead of a per-id python dict
+            ids = np.asarray(ids)
+            rows = ids - nl
+            slots = np.searchsorted(img_rows, rows)
+            slots = np.minimum(slots, len(img_rows) - 1)
+            valid = (ids >= nl) & (img_rows[slots] == rows)
+            return np.where(valid, slots, -1).astype(np.int32)
 
         return (jnp.asarray(pixels),
                 jnp.asarray(pos_from), jnp.asarray(pos_to),
@@ -226,24 +230,10 @@ class JointCNNTrainer:
                                        levels_to_hide=tuple(levels))
 
     def _stage_edges(self) -> np.ndarray:
-        hidden = self.cfg.levels_to_hide
-        if not hidden:
-            return self.train_edges
-        g = self.graph
-        n_levels = len(g.level_start)
-        lvl_of = np.full(g.n_labels + g.n_images, n_levels, np.int32)
-        for l in range(n_levels):
-            lvl_of[g.level_start[l]:g.level_stop[l]] = l
-        e = self.train_edges
-        keep = (~np.isin(lvl_of[e[:, 0]], hidden)
-                & ~np.isin(lvl_of[e[:, 1]], hidden))
-        if not keep.any():
-            raise ValueError(
-                f"curriculum stage hiding levels {hidden} leaves no "
-                "training edges — fix the schedule (the fc7 trainer "
-                "rejects this too rather than silently training on "
-                "hidden-level edges)")
-        return e[keep]
+        from ..losses.joint_sampling import filter_stage_edges
+
+        return filter_stage_edges(self.graph, self.train_edges,
+                                  self.cfg.levels_to_hide)
 
     def train_epoch(self, epoch: int, rng: np.random.RandomState):
         stage = self._stage_edges()

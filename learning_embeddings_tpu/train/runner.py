@@ -281,11 +281,20 @@ def run_classifier(
     ckpt.wait_until_finished()   # surface async save failures here, not
     #                              inside the missing-best_model except
     if best_epoch >= 0 or set_mode != "train":
+        # a failed load must not silently score freshly-initialized
+        # weights: in eval-only mode it is fatal; during training we only
+        # tolerate a genuinely-absent best_model (no eval interval hit)
         try:
             payload = ckpt.load("best_model", like)
             trainer.state = trainer.state.replace(**payload)
-        except Exception:
-            pass
+        except FileNotFoundError:
+            if set_mode != "train":
+                raise
+    if set_mode != "train" and evaluator in ("ML", "MLST") and \
+            thresholds is None and "val" in datasets:
+        # eval-only runs calibrate thresholds on val exactly like the
+        # training loop does before scoring test (evaluation.py:345-381)
+        evaluate("val", 0, "val")
     scores, ll, test_score, flat = evaluate(
         "test", max(best_epoch, 0), "best_test")
     np.save(os.path.join(exp.stats, "predicted_scores.npy"), scores)
@@ -398,7 +407,19 @@ def run_label_embedding(
         logger.scalar("epoch_time", time.time() - t0, epoch)
 
     results = {"best_val_f1": best_f1, "best_epoch": best_epoch}
+    # final test/reconstruction on the BEST model with ITS calibrated
+    # threshold (reference load_best_model before the final passes,
+    # order_embeddings.py:566,601,715)
+    if best_epoch >= 0:
+        payload = ckpt.load("best_model", like)
+        trainer.params = payload["params"]
+        trainer.opt_state = payload["opt_state"]
+        thr = float(payload["optimal_threshold"])
+        trainer.optimal_threshold = None if np.isnan(thr) else thr
     if len(splits.test):
+        if trainer.optimal_threshold is None and len(splits.val):
+            # never sweep the threshold on test data: calibrate on val
+            trainer.evaluate("val")
         test = trainer.evaluate("test")
         results["test_f1"] = float(test.f1)
         logger.scalars("test", {"f1": float(test.f1)}, n_epochs)
@@ -443,13 +464,26 @@ def run_joint_embedding(
                                     config, mesh=mesh)
 
     start_epoch = 0
-    like = {"params": trainer.params, "opt_state": trainer.opt_state}
+    # NaN marks "no calibrated threshold" (0.0 is legitimate for cones)
+    like = {"params": trainer.params, "opt_state": trainer.opt_state,
+            "optimal_threshold": float("nan")}
+
+    def _payload():
+        return {"params": trainer.params, "opt_state": trainer.opt_state,
+                "optimal_threshold": (
+                    float("nan") if trainer.optimal_threshold is None
+                    else trainer.optimal_threshold)}
+
+    def _restore(payload):
+        trainer.params = payload["params"]
+        trainer.opt_state = payload["opt_state"]
+        thr = float(payload["optimal_threshold"])
+        trainer.optimal_threshold = None if np.isnan(thr) else thr
+
     if resume:
         latest = ckpt.find_existing_weights()
         if latest is not None:
-            payload = ckpt.load(latest, like)
-            trainer.params = payload["params"]
-            trainer.opt_state = payload["opt_state"]
+            _restore(ckpt.load(latest, like))
             start_epoch = latest + 1
 
     def split_metrics(split):
@@ -487,18 +521,19 @@ def run_joint_embedding(
             logger.scalars("val", scal, epoch)
             if m["micro_f1"] > best_f1:
                 best_f1, best_epoch = m["micro_f1"], epoch
-                ckpt.save("best_model", {"params": trainer.params,
-                                         "opt_state": trainer.opt_state})
-        ckpt.save(epoch, {"params": trainer.params,
-                          "opt_state": trainer.opt_state})
+                ckpt.save("best_model", _payload())
+        ckpt.save(epoch, _payload())
         logger.scalar("epoch_time", time.time() - t0, epoch)
 
-    # reload the best model before the final test pass (reference loads
-    # best_model_wts at the end of run_model, oe_h.py:1959-1965)
+    # reload the best model + ITS calibrated threshold before the final
+    # test pass (reference loads best_model_wts and persists
+    # optimal_threshold in every checkpoint, oe_h.py:1882,1909,1959-1965)
     if best_epoch >= 0:
-        payload = ckpt.load("best_model", like)
-        trainer.params = payload["params"]
-        trainer.opt_state = payload["opt_state"]
+        _restore(ckpt.load("best_model", like))
+    if (trainer.optimal_threshold is None and eval_features
+            and "val" in eval_features):
+        # never sweep the edge threshold on test data: calibrate on val
+        edge_metrics("val")
     rec = trainer.reconstruction()
     logger.scalars("reconstruction", {"f1": float(rec.f1)}, n_epochs)
     mtest = split_metrics("test")

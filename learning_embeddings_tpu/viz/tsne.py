@@ -24,6 +24,10 @@ def render_tsne(features: np.ndarray, level_labels: np.ndarray, labelmap,
     import matplotlib.pyplot as plt
     from sklearn.manifold import TSNE
 
+    if n_components != 3:
+        # the renderer is 3-D (the reference's viz_tsne is, viz_tsne.py:
+        # 15-104); accepting other values would crash on emb[:, 2] below
+        raise ValueError("render_tsne renders 3-D projections only")
     os.makedirs(out_dir, exist_ok=True)
     n = min(len(features), max_points)
     emb = TSNE(n_components=n_components, init="pca",
