@@ -51,8 +51,9 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--f32_input", action="store_true",
                         help="Transfer float32 pixels host->device instead "
                              "of the default uint8-with-on-device-scale "
-                             "(4x less transfer bandwidth, numerically "
-                             "identical).")
+                             "(4x less transfer bandwidth; identical on the "
+                             "python pipeline, the native loader's uint8 "
+                             "path differs by one rounding step).")
 
 
 def inverse_class_weights(dataset, labelmap):

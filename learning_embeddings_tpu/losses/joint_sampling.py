@@ -257,6 +257,18 @@ def make_joint_negative_sampler(
             hi = np.searchsorted(anc, u, side="right")
             run_start_np[l, u] = lo
             run_cnt_np[l, u] = hi - lo
+    if visible is not None and L in visible and \
+            bool((run_cnt_np == ni).any()):
+        # a label every image descends from has an EMPTY negative-image
+        # complement; the clamped draw below would silently return a
+        # descendant (a positive trained as a negative). The reference
+        # crashes on the empty candidate set (random.choice([]),
+        # oe_h.py:881-905) — fail loudly here too.
+        bad = [int(u) for u in np.nonzero((run_cnt_np == ni).any(0))[0]]
+        raise ValueError(
+            f"labels {bad} are ancestors of EVERY train image — the "
+            "image-level negative pass has no candidates for them; hide "
+            "that level or drop pick_per_level")
     img_order_by_level = jnp.asarray(np.stack(img_order_by_level))  # (L, ni)
     run_start = jnp.asarray(run_start_np)
     run_cnt = jnp.asarray(run_cnt_np)
@@ -397,7 +409,13 @@ def sample_joint_negatives_np(
         order_l, start, cnt = _run_range(u)
         n_compl = ni - cnt
         if n_compl <= 0:
-            return int(rng.randint(ni))
+            # no image is a valid negative for u — match the device
+            # sampler's build-time failure (and the reference's crash on
+            # an empty candidate set) instead of corrupting the loss
+            raise ValueError(
+                f"label {u} is an ancestor of every train image — no "
+                "negative-image candidates (hide its level or drop "
+                "pick_per_level)")
         j = int(rng.randint(n_compl))
         if j >= start:
             j += cnt

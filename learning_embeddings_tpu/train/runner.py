@@ -140,7 +140,9 @@ def run_classifier(
     profile_steps: int = 0,
     input_dtype: str = "uint8",   # host->device transfer format; 'uint8'
     #   transfers raw pixels (4x less bandwidth) and scales on device —
-    #   numerically identical to 'float32' (u8/255 either way)
+    #   identical to 'float32' on the python pipeline (u8/255 either way);
+    #   the native loader's uint8 path rounds the interpolated value once
+    #   (≤0.5/255 per pixel vs its f32 path — see native/le_loader.cc)
 ):
     if mesh == "auto":
         # use every attached chip (pure DP) when the batch divides evenly —
@@ -290,11 +292,14 @@ def run_classifier(
         except FileNotFoundError:
             if set_mode != "train":
                 raise
-    if set_mode != "train" and evaluator in ("ML", "MLST") and \
-            thresholds is None and "val" in datasets:
-        # eval-only runs calibrate thresholds on val exactly like the
-        # training loop does before scoring test (evaluation.py:345-381)
-        evaluate("val", 0, "val")
+    if evaluator in ("ML", "MLST") and "val" in datasets and \
+            (set_mode != "train" or best_epoch >= 0):
+        # calibrate ML/MLST thresholds on val with the weights that will
+        # score test (evaluation.py:345-381): eval-only runs have none
+        # yet; train runs just reloaded the best epoch, whose thresholds
+        # differ from the last epoch's — recalibrate after best reload
+        # like the joint/label-embedding runners do
+        evaluate("val", max(best_epoch, 0), "best_val")
     scores, ll, test_score, flat = evaluate(
         "test", max(best_epoch, 0), "best_test")
     np.save(os.path.join(exp.stats, "predicted_scores.npy"), scores)
@@ -420,9 +425,15 @@ def run_label_embedding(
         if trainer.optimal_threshold is None and len(splits.val):
             # never sweep the threshold on test data: calibrate on val
             trainer.evaluate("val")
-        test = trainer.evaluate("test")
-        results["test_f1"] = float(test.f1)
-        logger.scalars("test", {"f1": float(test.f1)}, n_epochs)
+        if trainer.optimal_threshold is None:
+            # no val edges exist to calibrate a threshold — skip the test
+            # edge score rather than sweep the threshold on test data
+            print("run_label_embedding: no val edges — skipping test "
+                  "edge-F1 (no calibrated threshold)")
+        else:
+            test = trainer.evaluate("test")
+            results["test_f1"] = float(test.f1)
+            logger.scalars("test", {"f1": float(test.f1)}, n_epochs)
     rec = trainer.reconstruction()
     results["reconstruction_f1"] = float(rec.f1)
     logger.close()
@@ -499,6 +510,10 @@ def run_joint_embedding(
         if not (eval_features and split in eval_features):
             return None
         th = trainer.optimal_threshold if split == "test" else None
+        if split == "test" and th is None:
+            # no val features ever calibrated a threshold — never sweep
+            # one on test data; report no edge F1 instead
+            return None
         m = trainer.edge_metrics(eval_paths[split], eval_features[split],
                                  threshold=th)
         if split == "val":

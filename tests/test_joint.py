@@ -129,6 +129,29 @@ def test_image_negative_run_range_sampler_uniform(setup):
     assert counts.max() < expected * 2.5 and counts.min() > expected * 0.3
 
 
+def test_empty_image_complement_raises(setup):
+    """A label that is an ancestor of EVERY train image has no negative
+    images — both samplers must fail loudly (the silently-clamped draw
+    would return a descendant trained as a negative; the reference
+    crashes on the empty candidate set, oe_h.py:881-905)."""
+    from learning_embeddings_tpu.losses.joint_sampling import (
+        sample_joint_negatives_np)
+
+    lm = toy_labelmap(branching=2, n_levels=3)
+    ll = lm.leaf_paths()[np.zeros(6, int)]      # all images under leaf 0
+    graph, train_edges = build_joint_graph(lm, ll)
+    with pytest.raises(ValueError, match="ancestors? of"):
+        make_joint_negative_sampler(graph, 4, pick_per_level=True)
+    img_edges = train_edges[train_edges[:, 1] >= graph.n_labels]
+    with pytest.raises(ValueError, match="ancestors? of"):
+        sample_joint_negatives_np(
+            graph, 4, np.random.RandomState(0),
+            img_edges[:4, 0], img_edges[:4, 1], pick_per_level=True)
+    # hiding nothing but sampling without per-level passes stays legal
+    # (the unrestricted pass mixes label candidates in)
+    make_joint_negative_sampler(graph, 4, pick_per_level=False)
+
+
 def test_joint_sampler_respects_hidden_levels(setup):
     lm, graph, train_edges, feats, ll = setup
     sampler = make_joint_negative_sampler(
