@@ -65,7 +65,49 @@ def build_parser(default_energy: str):
                         help="Directory with {split}.npz fc7 features from "
                              "the image_emb driver (default: "
                              "<data_dir>/embeddings)")
+    parser.add_argument("--eval_max_images", type=int, default=None,
+                        help="--use_CNN only: cap eval-split embedding work "
+                             "at N images (logged; default scores the full "
+                             "split like the reference, oe_h.py:1971-2178)")
     return parser
+
+
+def load_warm_start(args, n_labels: int):
+    """(init_table, init_threshold) for the joint label table.
+
+    --load_emb_from: an orbax label-embedding checkpoint directory (e.g.
+    a label-only run's weights/best_model) — loads the raw table AND its
+    calibrated optimal_threshold (reference load_emb_model,
+    oe_h.py:1904-1916).
+    --load_cosine_emb: a plain .npy table; narrower tables (e.g. inverted
+    2-D cosine embeddings from viz.contours.invert_embeddings) are
+    zero-padded into the first columns (reference load_inverted_cosine_emb
+    places x/y into dims 0-1, order_embeddings.py:722-741)."""
+    import numpy as np
+
+    if args.load_emb_from:
+        from ..train.experiment import Checkpointer
+
+        class _Dir:   # Checkpointer only needs .weights
+            weights = os.path.dirname(os.path.abspath(args.load_emb_from))
+
+        ckpt = Checkpointer(_Dir())
+        payload = ckpt.load_raw(os.path.basename(args.load_emb_from))
+        table = payload["params"]["params"]["embedding"]
+        thr = float(payload.get("optimal_threshold", float("nan")))
+        return np.asarray(table), (None if np.isnan(thr) else thr)
+    if args.load_cosine_emb:
+        table = np.asarray(np.load(args.load_cosine_emb), np.float32)
+        if table.shape[0] != n_labels:
+            raise ValueError(
+                f"--load_cosine_emb table has {table.shape[0]} rows, "
+                f"taxonomy has {n_labels} labels")
+        if table.shape[1] < args.embedding_dim:
+            pad = np.zeros((n_labels, args.embedding_dim - table.shape[1]),
+                           np.float32)
+            table = np.concatenate([table, pad], axis=1)
+        return table, None
+    return None, None
 
 
 def load_features(features_dir: str, split: str, dataset):
@@ -113,6 +155,15 @@ def joint_main(args, default_energy: str):
             eval_paths[split] = (datasets[split].level_labels
                                  + labelmap.level_start[None, :])
 
+    if args.freeze_weights:
+        # the fc7 path is inherently feature-extracting: the CNN trunk is
+        # frozen by construction (features precomputed by image_emb) and
+        # FeatNet IS the final projection layer — nothing further to
+        # freeze (the reference stores feature_extracting on the joint
+        # trainer without applying it, oe_h.py:1348/2374)
+        print("--freeze_weights: fc7 features are already frozen; the "
+              "FeatNet projection and label table keep training")
+    init_table, init_threshold = load_warm_start(args, labelmap.n_classes)
     cfg = JointTrainerConfig(
         energy=LOSS_MAP[args.loss],
         embedding_dim=args.embedding_dim,
@@ -140,6 +191,8 @@ def joint_main(args, default_energy: str):
         eval_paths=eval_paths,
         resume=args.resume,
         manifest_args=manifest_from_args(args),
+        init_embeddings=init_table,
+        init_threshold=init_threshold,
     )
     print({k: v for k, v in result.items()
            if isinstance(v, (int, float, str))})
@@ -148,20 +201,24 @@ def joint_main(args, default_energy: str):
 
 
 def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
-    """--use_CNN: end-to-end image tower on pixels (train/joint_cnn.py)."""
+    """--use_CNN: end-to-end image tower on pixels, through the SAME
+    experiment runner as the fc7 path (train/runner.py run_joint_cnn:
+    resume, threshold checkpointing, edge-F1 calibration on val,
+    full-split eval)."""
     import numpy as np
 
-    from ..data.pipeline import augment_eval, decode_image
-    from ..train.experiment import (Checkpointer, ExperimentDir,
-                                    MetricsLogger, write_manifest)
-    from ..train.joint import DEFAULT_CURRICULUM
-    from ..train.joint_cnn import JointCNNConfig, JointCNNTrainer
+    from ..data.pipeline import (augment_eval, augment_joint_train,
+                                 decode_image)
+    from ..train.joint_cnn import JointCNNConfig
+    from ..train.runner import run_joint_cnn
     from .common import manifest_from_args
 
     ds = datasets["train"]
     size = args.image_size
 
     def pixel_loader(rows):
+        rows = np.asarray(rows)
+        seed = int(rows[0]) if len(rows) else 0
         try:
             from ..data import native_loader
 
@@ -170,16 +227,21 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
                 paths = [os.path.join(args.image_dir, ds.image_paths[r])
                          for r in rows]
                 batch, status = native_loader.load_augment_batch(
-                    paths, size, train=True, seed=int(rows[0]))
+                    paths, size, train=True, seed=seed)
                 if (status == 0).all():
                     return batch
         except Exception:
             pass
+        # fallback: the same resize + random-hflip train transform the
+        # native loader applies (reference joint transform,
+        # oe_h.py:1463-1467)
+        rng = np.random.RandomState(seed)
         return np.stack([
-            augment_eval(decode_image(
-                os.path.join(args.image_dir, ds.image_paths[r])), size)
+            augment_joint_train(decode_image(
+                os.path.join(args.image_dir, ds.image_paths[r])), size, rng)
             for r in rows]).astype(np.float32) / 255.0
 
+    init_table, init_threshold = load_warm_start(args, labelmap.n_classes)
     cfg = JointCNNConfig(
         loss_variant=args.loss_variant,
         energy=LOSS_MAP[args.loss], backbone=args.model
@@ -191,74 +253,40 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
         optimizer_labels=("rsgd" if args.use_rsgd
                           else "radam" if args.use_radam else "adam"),
         pick_per_level=args.pick_per_level, seed=args.random_seed,
-        freeze_bn=args.freeze_bn)
-    trainer = JointCNNTrainer(labelmap, graph, train_edges, pixel_loader, cfg)
-    exp = ExperimentDir(args.experiment_dir, args.experiment_name)
-    write_manifest(exp, manifest_from_args(args))
-    logger = MetricsLogger(exp)
-    ckpt = Checkpointer(exp)
-    curriculum = (DEFAULT_CURRICULUM if args.hide_levels else {0: ()})
+        hide_levels=args.hide_levels, half_half=args.half_half,
+        freeze_bn=args.freeze_bn, freeze_images=args.freeze_weights)
 
-    def eval_loader_for(ds):
+    def eval_loader_for(eval_ds):
         def load(rows):
             return np.stack([
                 augment_eval(decode_image(
-                    os.path.join(args.image_dir, ds.image_paths[r])), size)
+                    os.path.join(args.image_dir, eval_ds.image_paths[r])),
+                    size)
                 for r in np.asarray(rows)]).astype(np.float32) / 255.0
         return load
 
-    def split_metrics(split, max_images=512):
-        ds = datasets.get(split)
-        if ds is None or not len(ds):
-            return None
-        n = min(len(ds), max_images)
-        paths = (ds.level_labels[:n]
-                 + np.asarray(labelmap.level_start)[None, :])
-        embs = trainer.image_embeddings_for_rows(
-            np.arange(n), loader=eval_loader_for(ds),
-            batch_size=cfg.batch_size)
-        return trainer.classification_metrics(paths, embs)
+    eval_sets = {}
+    for split in ("val", "test"):
+        eds = datasets.get(split)
+        if eds is not None and len(eds):
+            paths = eds.level_labels + np.asarray(
+                labelmap.level_start)[None, :]
+            eval_sets[split] = (paths, eval_loader_for(eds))
 
-    rng = np.random.RandomState(args.random_seed)
-    best_f1, best_epoch = -1.0, -1
-    for epoch in range(args.n_epochs):
-        for start in sorted(curriculum):
-            if epoch == start:
-                trainer.set_levels_to_hide(curriculum[start])
-        stats = trainer.train_epoch(epoch, rng)
-        logger.scalars("train", stats, epoch)
-        print(f"epoch {epoch}: {stats}")
-        if epoch % args.eval_interval == 0:
-            m = split_metrics("val")
-            if m is not None:
-                logger.scalars("val", {k: v for k, v in m.items()
-                                       if isinstance(v, float)}, epoch)
-                if m["micro_f1"] > best_f1:
-                    best_f1, best_epoch = m["micro_f1"], epoch
-                    ckpt.save("best_model", {
-                        "params": trainer.params,
-                        "batch_stats": trainer.batch_stats,
-                        "opt_state": trainer.opt_state})
-        ckpt.save(epoch, {"params": trainer.params,
-                          "batch_stats": trainer.batch_stats,
-                          "opt_state": trainer.opt_state})
-    # best-model reload + final test pass + reconstruction (oe_h.py:
-    # 1959-1965, 2180-2247)
-    if best_epoch >= 0:
-        payload = ckpt.load("best_model", {
-            "params": trainer.params, "batch_stats": trainer.batch_stats,
-            "opt_state": trainer.opt_state})
-        trainer.params = payload["params"]
-        trainer.batch_stats = payload["batch_stats"]
-    results = {"best_val_micro_f1": best_f1, "best_epoch": best_epoch}
-    mtest = split_metrics("test")
-    if mtest is not None:
-        results["test_metrics"] = {k: v for k, v in mtest.items()
-                                   if isinstance(v, float)}
-        logger.scalars("test", results["test_metrics"], args.n_epochs)
-    rec = trainer.reconstruction()
-    results["reconstruction_f1"] = float(rec.f1)
-    logger.close()
-    print({k: v for k, v in results.items()
-           if isinstance(v, (int, float))})
-    return {**results, "trainer": trainer, "experiment": exp}
+    result = run_joint_cnn(
+        labelmap, graph, train_edges, pixel_loader, cfg,
+        experiment_dir=args.experiment_dir,
+        experiment_name=args.experiment_name,
+        n_epochs=args.n_epochs,
+        eval_interval=args.eval_interval,
+        eval_sets=eval_sets,
+        eval_max_images=args.eval_max_images,
+        resume=args.resume,
+        manifest_args=manifest_from_args(args),
+        init_embeddings=init_table,
+        init_threshold=init_threshold,
+    )
+    print({k: v for k, v in result.items()
+           if isinstance(v, (int, float, str))})
+    print("test:", result["test_metrics"])
+    return result

@@ -82,6 +82,17 @@ def augment_eval(img: np.ndarray, size: int) -> np.ndarray:
     return _resize(img, (size, size))
 
 
+def augment_joint_train(img: np.ndarray, size: int,
+                        rng: np.random.RandomState) -> np.ndarray:
+    """resize (S, S) → random hflip — the JOINT trainers' train transform
+    (oe_h.py:1463-1467: Resize + RandomHorizontalFlip, no crop, unlike the
+    classifier's 512→448-crop pipeline)."""
+    out = _resize(img, (size, size))
+    if rng.rand() < 0.5:
+        out = out[:, ::-1]
+    return out
+
+
 def augment_random_resized_crop(img: np.ndarray, size: int,
                                 rng: np.random.RandomState,
                                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> np.ndarray:

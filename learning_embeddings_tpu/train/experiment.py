@@ -116,6 +116,17 @@ class Checkpointer:
     def load(self, name, like: Dict[str, Any]) -> Dict[str, Any]:
         return self._ckpt.restore(self._path(name), like)
 
+    def load_raw(self, name) -> Dict[str, Any]:
+        """Restore without a target template (numpy leaves) — for reading
+        another experiment's checkpoint whose optimizer-state structure
+        this process doesn't know (e.g. --load_emb_from warm starts,
+        oe_h.py:1904-1916)."""
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")   # orbax warns on template-less
+            return self._ckpt.restore(self._path(name))
+
     def epochs_on_disk(self):
         out = []
         if os.path.isdir(self.dir):

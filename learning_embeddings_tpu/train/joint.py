@@ -52,6 +52,117 @@ DEFAULT_K = {"order": None, "hyp_cone": 0.1}
 DEFAULT_CURRICULUM = {0: (1, 2, 3), 20: (2, 3), 50: (3,), 100: ()}
 
 
+def epoch_edge_order(graph: JointGraph, edges: np.ndarray,
+                     rng: np.random.RandomState,
+                     half_half: bool) -> np.ndarray:
+    """Shuffle; with half_half, resample to 50% (label,label) and 50%
+    (label,image) edges (reference map_ranges resampling, oe.py:545-584).
+    Shared by the fc7 and --use_CNN joint trainers — half_half belongs to
+    the edge dataset, which both paths use (oe.py:494-647)."""
+    nl = graph.n_labels
+    if half_half:
+        is_img = edges[:, 1] >= nl
+        img_edges = edges[is_img]
+        lab_edges = edges[~is_img]
+        n = max(len(img_edges), len(lab_edges))
+        if len(img_edges) and len(lab_edges):
+            take = lambda arr: arr[rng.randint(0, len(arr), n)]
+            edges = np.concatenate([take(img_edges), take(lab_edges)])
+    return edges[rng.permutation(len(edges))]
+
+
+def curriculum_levels_for_epoch(curriculum: Dict[int, Tuple[int, ...]],
+                                epoch: int) -> Tuple[int, ...]:
+    """Hidden levels active at `epoch` (latest stage whose start <= epoch,
+    reference levels_to_hide_for_epoch lookup, oe_h.py:1534-1572)."""
+    current: Tuple[int, ...] = ()
+    for start in sorted(curriculum):
+        if epoch >= start:
+            current = tuple(curriculum[start])
+    return current
+
+
+def load_label_table(params_labels, table: np.ndarray, energy: str,
+                     K: Optional[float]):
+    """Warm-start a label-embedding param tree from an external table
+    (--load_emb_from / --load_cosine_emb, oe_h.py:1435-1436,
+    order_embeddings.py:722-741). Tables not already in the Poincare
+    annulus (e.g. 2-D cosine embeddings) are rescaled into it first —
+    same rule as EmbeddingTrainer.load_embedding_table."""
+    table = np.asarray(table, np.float32)
+    if energy == "hyp_cone":
+        from ..geometry import inner_radius
+
+        r0 = inner_radius(K)
+        norms = np.linalg.norm(table, axis=1, keepdims=True)
+        if norms.max() >= 1.0 or norms.min() < r0:
+            norms = np.maximum(norms, 1e-12)
+            target = r0 + (1 - 2 * r0) * norms / norms.max()
+            table = table / norms * target
+    loaded = {"n": 0}
+
+    def replace(p):
+        if p.shape == table.shape:
+            loaded["n"] += 1
+            return jnp.asarray(table)
+        return p
+
+    out = jax.tree_util.tree_map(replace, params_labels)
+    if loaded["n"] != 1:
+        raise ValueError(
+            f"warm-start table shape {table.shape} matched {loaded['n']} "
+            "label-embedding params (expected exactly 1)")
+    return out
+
+
+def joint_edge_metrics(label_emb, image_emb, img_paths_global, graph,
+                       *, energy: str, neg_to_pos_ratio: int,
+                       pick_per_level: bool, seed: int,
+                       threshold=None, **energy_kw):
+    """Edge-classification F1 on a held-out split: positives are every
+    (ancestor label → image) edge of the split's images; negatives are
+    2·ratio corrupted pairs per positive (the reference's joint val/test
+    pass, oe_h.py:906-926 + ETHECHierarchyWithImages pre-generation).
+
+    label_emb: (n_labels, d); image_emb: (n_split_images, d) — shared by
+    the fc7 trainer (FeatNet on features) and the CNN trainer (tower on
+    pixels). threshold=None sweeps best-F1 (val); a float reuses it."""
+    from ..eval import best_threshold_metrics, threshold_metrics
+    from ..geometry import ENERGY_FNS
+    from ..losses.joint_sampling import sample_joint_negatives_np
+
+    paths = np.asarray(img_paths_global, np.int32)
+    nl = graph.n_labels
+    split_graph = JointGraph(
+        label_closure=graph.label_closure,
+        image_paths_global=paths,
+        level_start=graph.level_start,
+        level_stop=graph.level_stop)
+    n_img, L = paths.shape
+    pos_from = paths.reshape(-1)
+    pos_to = (nl + np.repeat(np.arange(n_img), L)).astype(np.int32)
+    rng = np.random.RandomState(seed)
+    neg_from, neg_to = sample_joint_negatives_np(
+        split_graph, neg_to_pos_ratio, rng, pos_from, pos_to,
+        pick_per_level=pick_per_level)
+
+    lab = jnp.asarray(label_emb)
+    img = jnp.asarray(image_emb)
+
+    def emb(ids):
+        ids = jnp.asarray(ids)
+        lab_e = lab[jnp.minimum(ids, nl - 1)]
+        img_e = img[jnp.maximum(ids - nl, 0)]
+        return jnp.where((ids >= nl)[:, None], img_e, lab_e)
+
+    efn = ENERGY_FNS[energy]
+    e_pos = efn(emb(pos_from), emb(pos_to), **energy_kw)
+    e_neg = efn(emb(neg_from), emb(neg_to), **energy_kw)
+    if threshold is None:
+        return best_threshold_metrics(e_pos, e_neg)
+    return threshold_metrics(e_pos, e_neg, threshold)
+
+
 @dataclasses.dataclass
 class JointTrainerConfig:
     energy: str = "hyp_cone"
@@ -153,11 +264,30 @@ class JointEmbeddingTrainer:
         return jnp.where((ids >= nl)[:, None], img, lab)
 
     def levels_for_epoch(self, epoch: int) -> Tuple[int, ...]:
-        current = ()
-        for start in sorted(self.curriculum):
-            if epoch >= start:
-                current = tuple(self.curriculum[start])
-        return current
+        return curriculum_levels_for_epoch(self.curriculum, epoch)
+
+    def load_embedding_table(self, table: np.ndarray) -> None:
+        """Warm-start the label table (--load_emb_from / --load_cosine_emb,
+        oe_h.py:1435-1436)."""
+        self.params = dict(
+            self.params,
+            labels=load_label_table(self.params["labels"], table,
+                                    self.cfg.energy, self.K))
+
+    # checkpoint payload contract (reference saves model + optimizer +
+    # optimal_threshold per epoch, oe_h.py:1876-1909); NaN marks "no
+    # calibrated threshold" (0.0 is legitimate for cone energies)
+    def checkpoint_payload(self) -> Dict:
+        return {"params": self.params, "opt_state": self.opt_state,
+                "optimal_threshold": (
+                    float("nan") if self.optimal_threshold is None
+                    else float(self.optimal_threshold))}
+
+    def restore_payload(self, payload: Dict) -> None:
+        self.params = payload["params"]
+        self.opt_state = payload["opt_state"]
+        thr = float(payload["optimal_threshold"])
+        self.optimal_threshold = None if np.isnan(thr) else thr
 
     def _stage(self, hidden: Tuple[int, ...]):
         """(filtered train edges, epoch_fn) for a curriculum stage."""
@@ -227,19 +357,7 @@ class JointEmbeddingTrainer:
 
     # ------------------------------------------------------------------
     def _epoch_order(self, edges: np.ndarray, rng: np.random.RandomState):
-        """Shuffle; with half_half, resample to 50% (label,label) and 50%
-        (label,image) edges (reference map_ranges resampling,
-        oe.py:545-584)."""
-        nl = self.graph.n_labels
-        if self.cfg.half_half:
-            is_img = edges[:, 1] >= nl
-            img_edges = edges[is_img]
-            lab_edges = edges[~is_img]
-            n = max(len(img_edges), len(lab_edges))
-            if len(img_edges) and len(lab_edges):
-                take = lambda arr: arr[rng.randint(0, len(arr), n)]
-                edges = np.concatenate([take(img_edges), take(lab_edges)])
-        return edges[rng.permutation(len(edges))]
+        return epoch_edge_order(self.graph, edges, rng, self.cfg.half_half)
 
     def train_epoch(self, epoch: int, rng: np.random.RandomState):
         edges, epoch_fn = self._stage(self.levels_for_epoch(epoch))
@@ -288,43 +406,13 @@ class JointEmbeddingTrainer:
 
     def edge_metrics(self, img_paths_global, features, *,
                      threshold=None, seed: int = 17):
-        """Edge-classification F1 on a held-out split: positives are every
-        (ancestor label → image) edge of the split's images; negatives are
-        2·ratio corrupted pairs per positive (the reference's joint val/test
-        pass, oe_h.py:906-926 + ETHECHierarchyWithImages pre-generation).
-
-        threshold=None sweeps best-F1 (val); a float reuses it (test)."""
-        from ..eval import best_threshold_metrics, threshold_metrics
-        from ..geometry import ENERGY_FNS
-        from ..losses.joint_sampling import sample_joint_negatives_np
-
-        paths = np.asarray(img_paths_global, np.int32)
-        nl = self.graph.n_labels
-        split_graph = JointGraph(
-            label_closure=self.graph.label_closure,
-            image_paths_global=paths,
-            level_start=self.graph.level_start,
-            level_stop=self.graph.level_stop)
-        n_img, L = paths.shape
-        pos_from = paths.reshape(-1)
-        pos_to = (nl + np.repeat(np.arange(n_img), L)).astype(np.int32)
-        rng = np.random.RandomState(seed + self.cfg.seed)
-        neg_from, neg_to = sample_joint_negatives_np(
-            split_graph, self.cfg.neg_to_pos_ratio, rng, pos_from, pos_to,
-            pick_per_level=self.cfg.pick_per_level)
-
-        lab = self.label_embeddings()
-        img = self.image_embeddings(features)
-
-        def emb(ids):
-            ids = jnp.asarray(ids)
-            lab_e = lab[jnp.minimum(ids, nl - 1)]
-            img_e = img[jnp.maximum(ids - nl, 0)]
-            return jnp.where((ids >= nl)[:, None], img_e, lab_e)
-
-        efn = ENERGY_FNS[self.cfg.energy]
-        e_pos = efn(emb(pos_from), emb(pos_to), **self._energy_kw)
-        e_neg = efn(emb(neg_from), emb(neg_to), **self._energy_kw)
-        if threshold is None:
-            return best_threshold_metrics(e_pos, e_neg)
-        return threshold_metrics(e_pos, e_neg, threshold)
+        """Edge-classification F1 on a held-out split (joint_edge_metrics
+        with this trainer's FeatNet image embeddings). threshold=None
+        sweeps best-F1 (val); a float reuses it (test)."""
+        return joint_edge_metrics(
+            self.label_embeddings(), self.image_embeddings(features),
+            img_paths_global, self.graph, energy=self.cfg.energy,
+            neg_to_pos_ratio=self.cfg.neg_to_pos_ratio,
+            pick_per_level=self.cfg.pick_per_level,
+            seed=seed + self.cfg.seed, threshold=threshold,
+            **self._energy_kw)

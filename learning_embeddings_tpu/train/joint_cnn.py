@@ -12,8 +12,13 @@ Host/device split (the TPU version of the reference's on-demand
    available) and shipped as one (U, S, S, 3) tensor,
 3. the jitted step runs the CNN tower once over the unique images and
    scatters embeddings into the edge slots via index arrays — static
-   shapes via a fixed per-batch image budget (slots beyond the budget fall
-   back to label-only edges, which the sampler layout makes rare).
+   shapes via a fixed per-batch image budget.
+
+Multi-chip: pass a ('data','model') mesh — the reference DataParallel-wraps
+this tower too (oe_h.py:1434-1439). The unique-image tower batch and the
+edge-slot arrays shard over 'data'; the label table, FeatCNN params and
+optimizer state replicate (GSPMD inserts the gradient all-reduce and the
+cross-device BN-statistics reductions, preserving global-batch semantics).
 
 This is also the benchmark configuration of BASELINE.json's north star
 ("ETHEC ResNet-50 + hyperbolic-cone joint training images/sec/chip").
@@ -22,6 +27,7 @@ This is also the benchmark configuration of BASELINE.json's north star
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -35,7 +41,9 @@ from ..models.embedder import FeatCNN, LabelEmbedder
 from ..ops.image import device_scale
 from ..optim.rsgd import (project_annulus_tree, riemannian_adam,
                           riemannian_sgd, scale_by_conformal_factor)
-from .joint import DEFAULT_K, JOINT_MODE
+from .joint import (DEFAULT_CURRICULUM, DEFAULT_K, JOINT_MODE,
+                    curriculum_levels_for_epoch, epoch_edge_order,
+                    joint_edge_metrics, load_label_table)
 
 
 @dataclasses.dataclass
@@ -52,21 +60,33 @@ class JointCNNConfig:
     optimizer_labels: str = "adam"
     pick_per_level: bool = True
     levels_to_hide: Tuple[int, ...] = ()
+    hide_levels: bool = False           # reference --hide_levels curriculum
+    curriculum: Optional[Dict[int, Tuple[int, ...]]] = None
+    half_half: bool = False             # 50/50 (l,l)/(l,img) edge resample
     loss_variant: str = "margin"   # margin | vendrov | nll (see joint.py)
     seed: int = 0
     K: Optional[float] = None
+    tower_dtype: str = "bfloat16"  # compute dtype of the CNN tower (MXU
+    #   wants bf16; float32 for exact-parity testing)
     freeze_bn: bool = False  # frozen BN stats in the image tower (no
     #                          stat/stat-grad sweeps — see BASELINE.md)
+    freeze_images: bool = False  # --freeze_weights: feature-extracting
+    #   image tower — only the final projection ('fc') trains; the trunk
+    #   is frozen (the reference stores feature_extracting on the joint
+    #   trainer, oe_h.py:1348/2374; classifier semantics finetuner.py:138)
 
 
 class JointCNNTrainer:
     def __init__(self, labelmap, graph: JointGraph, train_edges: np.ndarray,
                  pixel_loader: Callable[[np.ndarray], np.ndarray],
-                 cfg: JointCNNConfig):
-        """pixel_loader(image_rows) -> (n, S, S, 3) float32 in [0,1]."""
+                 cfg: JointCNNConfig, mesh=None):
+        """pixel_loader(image_rows) -> (n, S, S, 3) float32 in [0,1] (or
+        uint8; the step scales on device). mesh: optional ('data','model')
+        jax.sharding.Mesh — tower batch + edge slots shard over 'data'."""
         self.labelmap = labelmap
         self.graph = graph
         self.cfg = cfg
+        self.mesh = mesh
         self.K = cfg.K if cfg.K is not None else DEFAULT_K[cfg.energy]
         mode = JOINT_MODE[cfg.energy]
         self.train_edges = np.asarray(train_edges, np.int32)
@@ -77,12 +97,19 @@ class JointCNNTrainer:
             # meaningless on ball/cone coordinates
             raise ValueError("loss_variant='nll' requires the euclidean "
                              "order energy (--loss order_emb_loss)")
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if cfg.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} must divide evenly over "
+                    f"the mesh's {n_data} 'data' shards")
 
         self.embedder = LabelEmbedder(n_nodes=graph.n_labels,
                                       dim=cfg.embedding_dim, mode=mode,
                                       K=self.K)
         self.featcnn = FeatCNN(backbone=cfg.backbone, dim=cfg.embedding_dim,
-                               mode=mode, K=self.K)
+                               mode=mode, K=self.K,
+                               dtype=jnp.dtype(cfg.tower_dtype))
         key = jax.random.PRNGKey(cfg.seed)
         k1, k2 = jax.random.split(key)
         img_vars = self.featcnn.init(
@@ -97,6 +124,10 @@ class JointCNNTrainer:
         self._energy_kw = {} if self.K is None else {"K": self.K}
         self._step = self._build_step()
         self._rng = np.random.RandomState(cfg.seed)
+        self.optimal_threshold = None
+        self.curriculum = (cfg.curriculum if cfg.curriculum is not None
+                           else (DEFAULT_CURRICULUM if cfg.hide_levels
+                                 else {0: ()}))
 
     def _make_optimizer(self):
         cfg = self.cfg
@@ -113,9 +144,20 @@ class JointCNNTrainer:
                                    optax.adam(cfg.lr_labels))
         else:
             label_tx = optax.adam(cfg.lr_labels)
+
+        def route(params):
+            # feature-extracting mode freezes everything in the image
+            # tower except the final projection (classifier freeze-trunk
+            # semantics, finetuner.py:138)
+            img = {k: ("images" if k == "fc" or not self.cfg.freeze_images
+                       else "frozen")
+                   for k in params["images"]}
+            return {"labels": "labels", "images": img}
+
         return optax.multi_transform(
-            {"labels": label_tx, "images": optax.adam(cfg.lr_images)},
-            {"labels": "labels", "images": "images"})
+            {"labels": label_tx, "images": optax.adam(cfg.lr_images),
+             "frozen": optax.set_to_zero()},
+            route)
 
     def _build_step(self):
         cfg = self.cfg
@@ -154,7 +196,6 @@ class JointCNNTrainer:
                 neg_to_pos_ratio=cfg.neg_to_pos_ratio, **energy_kw)
             return loss, (mutated["batch_stats"], e_pos, e_neg)
 
-        @jax.jit
         def step(params, batch_stats, opt_state, pixels,
                  pf, pt, nf, nt, pix_pf, pix_pt, pix_nf, pix_nt):
             (loss, (new_stats, e_pos, e_neg)), grads = jax.value_and_grad(
@@ -168,7 +209,52 @@ class JointCNNTrainer:
                               labels=project_annulus_tree(params["labels"], K))
             return params, new_stats, opt_state, loss, e_pos, e_neg
 
-        return step
+        if self.mesh is None:
+            return jax.jit(step)
+
+        # GSPMD: tower batch + edge slots over 'data'; params/stats/opt
+        # replicated — XLA all-reduces the grads and the BN statistics
+        # (global-batch semantics, like the reference's DataParallel wrap
+        # of the tower, oe_h.py:1434-1439)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        dat = NamedSharding(self.mesh, P("data"))
+        pix_sh = NamedSharding(self.mesh, P("data", None, None, None))
+
+        def rep_tree(t, **kw):
+            return jax.tree_util.tree_map(lambda _: rep, t, **kw)
+
+        return jax.jit(step, in_shardings=(
+            rep_tree(self.params), rep_tree(self.batch_stats),
+            rep_tree(self.opt_state, is_leaf=lambda x: hasattr(x, "shape")),
+            pix_sh, dat, dat, dat, dat, dat, dat, dat, dat))
+
+    # ------------------------------------------------------------------
+    def load_embedding_table(self, table: np.ndarray) -> None:
+        """Warm-start the label table (--load_emb_from / --load_cosine_emb,
+        oe_h.py:1435-1436)."""
+        self.params = dict(
+            self.params,
+            labels=load_label_table(self.params["labels"], table,
+                                    self.cfg.energy, self.K))
+
+    def levels_for_epoch(self, epoch: int) -> Tuple[int, ...]:
+        return curriculum_levels_for_epoch(self.curriculum, epoch)
+
+    def checkpoint_payload(self) -> Dict:
+        return {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state,
+                "optimal_threshold": (
+                    float("nan") if self.optimal_threshold is None
+                    else float(self.optimal_threshold))}
+
+    def restore_payload(self, payload: Dict) -> None:
+        self.params = payload["params"]
+        self.batch_stats = payload["batch_stats"]
+        self.opt_state = payload["opt_state"]
+        thr = float(payload["optimal_threshold"])
+        self.optimal_threshold = None if np.isnan(thr) else thr
 
     # ------------------------------------------------------------------
     def prepare_batch(self, pos_from: np.ndarray, pos_to: np.ndarray):
@@ -186,9 +272,13 @@ class JointCNNTrainer:
         img_rows = np.unique(all_ids[all_ids >= nl]) - nl
         if len(img_rows) == 0:
             img_rows = np.zeros((1,), np.int64)   # static-friendly dummy
-        # pad the unique-image count to a bucket (multiple of batch_size) so
-        # the jitted step compiles once per bucket, not per batch
-        bucket = -(-len(img_rows) // self.cfg.batch_size) * self.cfg.batch_size
+        # pad the unique-image count to a bucket (multiple of batch_size,
+        # and of the mesh's data shards) so the jitted step compiles once
+        # per bucket and shards evenly
+        q = self.cfg.batch_size
+        if self.mesh is not None:
+            q = math.lcm(q, self.mesh.shape["data"])
+        bucket = -(-len(img_rows) // q) * q
         padded = np.resize(img_rows, bucket)
         pixels = self.pixel_loader(padded)
 
@@ -236,18 +326,26 @@ class JointCNNTrainer:
                                   self.cfg.levels_to_hide)
 
     def train_epoch(self, epoch: int, rng: np.random.RandomState):
+        """One epoch over the current curriculum stage; reports the same
+        stats shape as the fc7 trainer (loss sum + mean energies) so the
+        two joint paths' logged curves are comparable."""
+        self.set_levels_to_hide(self.levels_for_epoch(epoch))
         stage = self._stage_edges()
-        edges = stage[rng.permutation(len(stage))]
+        edges = epoch_edge_order(self.graph, stage, rng,
+                                 self.cfg.half_half)
         bs = self.cfg.batch_size
         if len(edges) < bs:
             edges = np.resize(edges, (bs, 2))
         nb = max(len(edges) // bs, 1)
-        total = 0.0
+        total, ep_sum, en_sum = 0.0, 0.0, 0.0
         for b in range(nb):
             e = edges[b * bs:(b + 1) * bs]
-            loss, _, _ = self.train_batch(e[:, 0], e[:, 1])
+            loss, e_pos, e_neg = self.train_batch(e[:, 0], e[:, 1])
             total += loss
-        return {"loss": total}
+            ep_sum += float(jnp.mean(e_pos))
+            en_sum += float(jnp.mean(e_neg))
+        return {"loss": total, "e_pos_mean": ep_sum / nb,
+                "e_neg_mean": en_sum / nb}
 
     # ------------------------------------------------------------------
     # evaluation (reference joint eval: calculate_classification_metrics +
@@ -273,6 +371,19 @@ class JointCNNTrainer:
             self.label_embeddings(), image_embs,
             np.asarray(img_paths_global), self.labelmap,
             energy=self.cfg.energy, ks=ks, **self._energy_kw)
+
+    def edge_metrics(self, img_paths_global, image_embs, *,
+                     threshold=None, seed: int = 17):
+        """Edge-classification F1 on a held-out split (joint_edge_metrics
+        with tower embeddings computed from pixels). threshold=None sweeps
+        best-F1 (val); a float reuses it (test)."""
+        return joint_edge_metrics(
+            self.label_embeddings(), image_embs, img_paths_global,
+            self.graph, energy=self.cfg.energy,
+            neg_to_pos_ratio=self.cfg.neg_to_pos_ratio,
+            pick_per_level=self.cfg.pick_per_level,
+            seed=seed + self.cfg.seed, threshold=threshold,
+            **self._energy_kw)
 
     def reconstruction(self, threshold=None):
         from ..eval.reconstruction import reconstruction_metrics

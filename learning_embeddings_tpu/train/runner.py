@@ -35,7 +35,8 @@ from ..eval.reports import Summarize
 from .classifier import ClassifierConfig, ClassifierTrainer
 from .experiment import Checkpointer, ExperimentDir, MetricsLogger, write_manifest
 
-__all__ = ["run_classifier", "run_label_embedding", "run_joint_embedding"]
+__all__ = ["run_classifier", "run_label_embedding", "run_joint_embedding",
+           "run_joint_cnn"]
 
 
 # ---------------------------------------------------------------------------
@@ -441,8 +442,82 @@ def run_label_embedding(
 
 
 # ---------------------------------------------------------------------------
-# joint embeddings
+# joint embeddings (shared loop for the fc7 and --use_CNN paths)
 # ---------------------------------------------------------------------------
+
+def _run_joint_loop(
+    trainer,
+    eval_split,          # (split) -> (metrics dict, edge metrics or None)
+    *,
+    exp: ExperimentDir,
+    n_epochs: int,
+    eval_interval: int,
+    has_val_edges: bool,  # whether eval_split('val') can calibrate a thresh
+    resume: bool,
+    seed: int,
+):
+    """The joint-experiment contract both trainers share (reference
+    JointEmbeddings.run_model, oe_h.py:1512-1965): per-epoch train, val
+    classification metrics select the best model, val edge pass calibrates
+    `optimal_threshold` (persisted in every checkpoint, oe_h.py:1876-1909),
+    --resume from the latest numbered checkpoint, best reload + val
+    recalibration before the final test + reconstruction."""
+    logger = MetricsLogger(exp)
+    ckpt = Checkpointer(exp)
+    like = trainer.checkpoint_payload()
+
+    start_epoch = 0
+    if resume:
+        latest = ckpt.find_existing_weights()
+        if latest is not None:
+            trainer.restore_payload(ckpt.load(latest, like))
+            start_epoch = latest + 1
+
+    def _eval(split):
+        m, em = eval_split(split)
+        if em is not None and split == "val":
+            trainer.optimal_threshold = float(em.threshold)
+        return m, em
+
+    best_f1, best_epoch = -1.0, -1
+    rng = np.random.RandomState(seed)
+    for epoch in range(start_epoch, n_epochs):
+        t0 = time.time()
+        stats = trainer.train_epoch(epoch, rng)
+        logger.scalars("train", stats, epoch)
+        if epoch % eval_interval == 0:
+            m, em = _eval("val")
+            scal = {k: v for k, v in m.items() if isinstance(v, float)}
+            if em is not None:
+                scal["edge_f1"] = float(em.f1)
+                scal["edge_threshold"] = float(em.threshold)
+            logger.scalars("val", scal, epoch)
+            if m["micro_f1"] > best_f1:
+                best_f1, best_epoch = m["micro_f1"], epoch
+                ckpt.save("best_model", trainer.checkpoint_payload())
+        ckpt.save(epoch, trainer.checkpoint_payload())
+        logger.scalar("epoch_time", time.time() - t0, epoch)
+
+    # reload the best model + ITS calibrated threshold before the final
+    # test pass (reference loads best_model_wts and persists
+    # optimal_threshold in every checkpoint, oe_h.py:1882,1909,1959-1965)
+    if best_epoch >= 0:
+        trainer.restore_payload(ckpt.load("best_model", like))
+    if trainer.optimal_threshold is None and has_val_edges:
+        # never sweep the edge threshold on test data: calibrate on val
+        _eval("val")
+    rec = trainer.reconstruction()
+    logger.scalars("reconstruction", {"f1": float(rec.f1)}, n_epochs)
+    mtest, em_test = _eval("test")
+    test_metrics = {k: v for k, v in mtest.items() if isinstance(v, float)}
+    if em_test is not None:
+        test_metrics["edge_f1"] = float(em_test.f1)
+    logger.close()
+    return {"best_val_micro_f1": best_f1, "best_epoch": best_epoch,
+            "test_metrics": test_metrics,
+            "reconstruction_f1": float(rec.f1),
+            "trainer": trainer, "experiment": exp}
+
 
 def run_joint_embedding(
     labelmap,
@@ -460,104 +535,109 @@ def run_joint_embedding(
     resume: bool = False,
     manifest_args: Optional[Dict] = None,
     mesh=None,
+    init_embeddings: Optional[np.ndarray] = None,
+    init_threshold: Optional[float] = None,
 ):
     """eval_features/eval_paths: per split ('val'/'test') fc7 arrays and
     (n, L) global ancestor paths for held-out images. `mesh`: optional
     ('data','model') mesh for the sharded fc7 step (edge batches over
-    'data')."""
+    'data'). init_embeddings/init_threshold: label-table warm start
+    (--load_emb_from loads both, oe_h.py:1904-1916)."""
     from .joint import JointEmbeddingTrainer
 
     exp = ExperimentDir(experiment_dir, experiment_name)
     write_manifest(exp, manifest_args or {})
-    logger = MetricsLogger(exp)
-    ckpt = Checkpointer(exp)
     trainer = JointEmbeddingTrainer(labelmap, graph, train_edges, features,
                                     config, mesh=mesh)
+    if init_embeddings is not None:
+        trainer.load_embedding_table(init_embeddings)
+    if init_threshold is not None:
+        trainer.optimal_threshold = float(init_threshold)
 
-    start_epoch = 0
-    # NaN marks "no calibrated threshold" (0.0 is legitimate for cones)
-    like = {"params": trainer.params, "opt_state": trainer.opt_state,
-            "optimal_threshold": float("nan")}
-
-    def _payload():
-        return {"params": trainer.params, "opt_state": trainer.opt_state,
-                "optimal_threshold": (
-                    float("nan") if trainer.optimal_threshold is None
-                    else trainer.optimal_threshold)}
-
-    def _restore(payload):
-        trainer.params = payload["params"]
-        trainer.opt_state = payload["opt_state"]
-        thr = float(payload["optimal_threshold"])
-        trainer.optimal_threshold = None if np.isnan(thr) else thr
-
-    if resume:
-        latest = ckpt.find_existing_weights()
-        if latest is not None:
-            _restore(ckpt.load(latest, like))
-            start_epoch = latest + 1
-
-    def split_metrics(split):
-        if eval_features and split in eval_features:
-            return trainer.classification_metrics(
-                img_paths_global=eval_paths[split],
-                features=eval_features[split])
-        return trainer.classification_metrics()
-
-    def edge_metrics(split):
-        """Edge-classification F1 (val sweeps + stores the threshold, test
-        reuses it — reference joint pass_samples, oe_h.py:906-926)."""
+    def eval_split(split):
         if not (eval_features and split in eval_features):
-            return None
+            # no held-out features: score the train images, no edge pass
+            # (never sweep a threshold on test data)
+            return trainer.classification_metrics(), None
+        m = trainer.classification_metrics(
+            img_paths_global=eval_paths[split],
+            features=eval_features[split])
         th = trainer.optimal_threshold if split == "test" else None
         if split == "test" and th is None:
-            # no val features ever calibrated a threshold — never sweep
-            # one on test data; report no edge F1 instead
-            return None
-        m = trainer.edge_metrics(eval_paths[split], eval_features[split],
-                                 threshold=th)
-        if split == "val":
-            trainer.optimal_threshold = float(m.threshold)
-        return m
+            return m, None
+        em = trainer.edge_metrics(eval_paths[split], eval_features[split],
+                                  threshold=th)
+        return m, em
 
-    best_f1, best_epoch = -1.0, -1
-    rng = np.random.RandomState(config.seed)
-    for epoch in range(start_epoch, n_epochs):
-        t0 = time.time()
-        stats = trainer.train_epoch(epoch, rng)
-        logger.scalars("train", stats, epoch)
-        if epoch % eval_interval == 0:
-            m = split_metrics("val")
-            scal = {k: v for k, v in m.items() if isinstance(v, float)}
-            em = edge_metrics("val")
-            if em is not None:
-                scal["edge_f1"] = float(em.f1)
-                scal["edge_threshold"] = float(em.threshold)
-            logger.scalars("val", scal, epoch)
-            if m["micro_f1"] > best_f1:
-                best_f1, best_epoch = m["micro_f1"], epoch
-                ckpt.save("best_model", _payload())
-        ckpt.save(epoch, _payload())
-        logger.scalar("epoch_time", time.time() - t0, epoch)
+    return _run_joint_loop(
+        trainer, eval_split, exp=exp, n_epochs=n_epochs,
+        eval_interval=eval_interval,
+        has_val_edges=bool(eval_features and "val" in eval_features),
+        resume=resume, seed=config.seed)
 
-    # reload the best model + ITS calibrated threshold before the final
-    # test pass (reference loads best_model_wts and persists
-    # optimal_threshold in every checkpoint, oe_h.py:1882,1909,1959-1965)
-    if best_epoch >= 0:
-        _restore(ckpt.load("best_model", like))
-    if (trainer.optimal_threshold is None and eval_features
-            and "val" in eval_features):
-        # never sweep the edge threshold on test data: calibrate on val
-        edge_metrics("val")
-    rec = trainer.reconstruction()
-    logger.scalars("reconstruction", {"f1": float(rec.f1)}, n_epochs)
-    mtest = split_metrics("test")
-    test_metrics = {k: v for k, v in mtest.items() if isinstance(v, float)}
-    em_test = edge_metrics("test")
-    if em_test is not None:
-        test_metrics["edge_f1"] = float(em_test.f1)
-    logger.close()
-    return {"best_val_micro_f1": best_f1, "best_epoch": best_epoch,
-            "test_metrics": test_metrics,
-            "reconstruction_f1": float(rec.f1),
-            "trainer": trainer, "experiment": exp}
+
+def run_joint_cnn(
+    labelmap,
+    graph,
+    train_edges,
+    pixel_loader,
+    config,
+    *,
+    experiment_dir: str,
+    experiment_name: str,
+    n_epochs: int,
+    eval_interval: int = 1,
+    eval_sets: Optional[Dict[str, tuple]] = None,   # split -> (paths, loader)
+    eval_max_images: Optional[int] = None,
+    resume: bool = False,
+    manifest_args: Optional[Dict] = None,
+    mesh=None,
+    init_embeddings: Optional[np.ndarray] = None,
+    init_threshold: Optional[float] = None,
+):
+    """--use_CNN joint runner: same experiment contract as the fc7 path
+    (shared `_run_joint_loop`), with image embeddings computed through the
+    CNN tower. eval_sets[split] = ((n, L) global ancestor paths,
+    loader(rows)->pixels); when absent, falls back to the train images.
+    eval_max_images caps eval embedding work per split — the cap is LOGGED
+    (the reference scores full splits, oe_h.py:1971-2178; no silent
+    caps)."""
+    from .joint_cnn import JointCNNTrainer
+
+    exp = ExperimentDir(experiment_dir, experiment_name)
+    write_manifest(exp, manifest_args or {})
+    trainer = JointCNNTrainer(labelmap, graph, train_edges, pixel_loader,
+                              config, mesh=mesh)
+    if init_embeddings is not None:
+        trainer.load_embedding_table(init_embeddings)
+    if init_threshold is not None:
+        trainer.optimal_threshold = float(init_threshold)
+
+    def eval_split(split):
+        held_out = bool(eval_sets and split in eval_sets)
+        if held_out:
+            paths, loader = eval_sets[split]
+        else:
+            paths, loader = graph.image_paths_global, trainer.pixel_loader
+        paths = np.asarray(paths)
+        n = len(paths)
+        if eval_max_images is not None and n > eval_max_images:
+            print(f"run_joint_cnn: capping {split} eval at "
+                  f"{eval_max_images} of {n} images (--eval_max_images)")
+            n = eval_max_images
+        embs = trainer.image_embeddings_for_rows(
+            np.arange(n), loader=loader, batch_size=config.batch_size)
+        m = trainer.classification_metrics(paths[:n], embs)
+        if not held_out:
+            return m, None        # no edge pass on train images
+        th = trainer.optimal_threshold if split == "test" else None
+        if split == "test" and th is None:
+            return m, None        # never sweep the threshold on test
+        em = trainer.edge_metrics(paths[:n], embs, threshold=th)
+        return m, em
+
+    return _run_joint_loop(
+        trainer, eval_split, exp=exp, n_epochs=n_epochs,
+        eval_interval=eval_interval,
+        has_val_edges=bool(eval_sets and "val" in eval_sets),
+        resume=resume, seed=config.seed)

@@ -87,6 +87,139 @@ def test_joint_cnn_freeze_bn_step():
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def test_mesh_loss_parity(setup):
+    """The meshed --use_CNN step (tower batch + edge slots over 'data',
+    params replicated) must reproduce the unmeshed step — GSPMD
+    global-batch semantics. Asserted: identical step-0 loss/energies on
+    identical inputs, post-step BN batch statistics (the cross-device
+    stat reduction) and the updated label table. (Full param equality is
+    NOT asserted: adam normalizes near-zero gradients to ±lr, so benign
+    reduction-order noise in tiny BN-scale grads flips update signs.)"""
+    import jax
+
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+
+    lm, graph, train_edges, loader, leaves = setup
+    img_edges = train_edges[train_edges[:, 1] >= graph.n_labels]
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, lr_labels=0.02,
+                         lr_images=0.005, batch_size=8, neg_to_pos_ratio=3,
+                         alpha=0.01, seed=0, tower_dtype="float32")
+    mesh = make_mesh(n_data=8, n_model=1)
+    tr_m = JointCNNTrainer(lm, graph, train_edges, loader, cfg, mesh=mesh)
+    tr_s = JointCNNTrainer(lm, graph, train_edges, loader, cfg, mesh=None)
+    # same seed => identical host negative draws => identical step inputs
+    e = img_edges[:8]
+    loss_m, ep_m, en_m = tr_m.train_batch(e[:, 0], e[:, 1])
+    loss_s, ep_s, en_s = tr_s.train_batch(e[:, 0], e[:, 1])
+    np.testing.assert_allclose(loss_m, loss_s, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ep_m), np.asarray(ep_s),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(en_m), np.asarray(en_s),
+                               rtol=1e-4, atol=1e-5)
+    # the cross-device BN statistics reduce to the single-device values
+    for a, b in zip(jax.tree_util.tree_leaves(tr_m.batch_stats),
+                    jax.tree_util.tree_leaves(tr_s.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # the all-reduced label-table update matches single-device
+    for a, b in zip(jax.tree_util.tree_leaves(tr_m.params["labels"]),
+                    jax.tree_util.tree_leaves(tr_s.params["labels"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_rejects_indivisible_batch(setup):
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+
+    lm, graph, train_edges, loader, leaves = setup
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, batch_size=7,
+                         neg_to_pos_ratio=2, seed=0)
+    with pytest.raises(ValueError, match="divide evenly"):
+        JointCNNTrainer(lm, graph, train_edges, loader, cfg,
+                        mesh=make_mesh(n_data=8, n_model=1))
+
+
+def test_freeze_images_trains_only_projection(setup):
+    """--freeze_weights (feature extracting): the tower trunk stays frozen
+    after a step; the final projection and the label table still move."""
+    import jax
+
+    lm, graph, train_edges, loader, leaves = setup
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, lr_labels=0.02,
+                         lr_images=0.01, batch_size=8, neg_to_pos_ratio=3,
+                         alpha=0.01, seed=0, freeze_images=True)
+    tr = JointCNNTrainer(lm, graph, train_edges, loader, cfg)
+    before = jax.tree_util.tree_map(np.array, tr.params)
+    tr.train_batch(train_edges[:8, 0], train_edges[:8, 1])
+    for a, b in zip(jax.tree_util.tree_leaves(before["images"]["trunk"]),
+                    jax.tree_util.tree_leaves(tr.params["images"]["trunk"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    fc_moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before["images"]["fc"]),
+                        jax.tree_util.tree_leaves(tr.params["images"]["fc"])))
+    lab_moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before["labels"]),
+                        jax.tree_util.tree_leaves(tr.params["labels"])))
+    assert fc_moved and lab_moved
+
+
+def test_half_half_reaches_cnn_epoch(setup, monkeypatch):
+    """--half_half must change the CNN path's epoch composition (it was
+    parsed-but-dead in r2): the shared resampler is called with
+    half_half=True and its output feeds the epoch."""
+    from learning_embeddings_tpu.train import joint_cnn as jc
+
+    lm, graph, train_edges, loader, leaves = setup
+    seen = {}
+    real = jc.epoch_edge_order
+
+    def spy(graph_, edges, rng, half_half):
+        seen["half_half"] = half_half
+        return real(graph_, edges, rng, half_half)
+
+    monkeypatch.setattr(jc, "epoch_edge_order", spy)
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, batch_size=8,
+                         neg_to_pos_ratio=2, seed=0, half_half=True)
+    tr = JointCNNTrainer(lm, graph, train_edges, loader, cfg)
+    tr.train_epoch(0, np.random.RandomState(0))
+    assert seen["half_half"] is True
+
+
+def test_load_embedding_table_warm_start(setup):
+    """--load_emb_from: a table already inside the Poincare annulus loads
+    VERBATIM into the raw label params (reference load_emb_model restores
+    the state dict as-is, oe_h.py:1904-1916)."""
+    import jax
+
+    from learning_embeddings_tpu.geometry import inner_radius
+
+    lm, graph, train_edges, loader, leaves = setup
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, batch_size=8,
+                         neg_to_pos_ratio=2, seed=0)
+    tr = JointCNNTrainer(lm, graph, train_edges, loader, cfg)
+    rng = np.random.RandomState(3)
+    r0 = inner_radius(tr.K)
+    raw = rng.randn(graph.n_labels, 4)
+    raw = raw / np.linalg.norm(raw, axis=1, keepdims=True) * (r0 + 0.02)
+    tr.load_embedding_table(raw.astype(np.float32))
+    table = [p for p in jax.tree_util.tree_leaves(tr.params["labels"])
+             if p.shape == raw.shape][0]
+    np.testing.assert_allclose(np.asarray(table), raw, rtol=1e-6)
+    # a table OUTSIDE the ball is rescaled into the annulus
+    tr.load_embedding_table((raw * 50).astype(np.float32))
+    table = [p for p in jax.tree_util.tree_leaves(tr.params["labels"])
+             if p.shape == raw.shape][0]
+    norms = np.linalg.norm(np.asarray(table), axis=1)
+    assert (norms >= r0 - 1e-6).all() and (norms < 1.0).all()
+
+
 def test_use_cnn_cli_evaluates_and_checkpoints(tmp_path):
     """--use_CNN end-to-end: curriculum applied, val metrics tracked, best
     checkpoint saved, final test metrics + reconstruction returned."""
@@ -124,5 +257,83 @@ def test_use_cnn_cli_evaluates_and_checkpoints(tmp_path):
     assert "reconstruction_f1" in r and np.isfinite(r["reconstruction_f1"])
     assert r["best_epoch"] >= 0
     assert "micro_f1" in r["test_metrics"]
+    # the CNN path now meets the full joint experiment contract: edge-F1
+    # calibrated on val, scored on test at the val threshold
+    assert "edge_f1" in r["test_metrics"]
+    assert r["trainer"].optimal_threshold is not None
     weights = os.listdir(r["experiment"].weights)
     assert "best_model" in weights
+    # checkpoints persist the calibrated threshold (oe_h.py:1876-1909)
+    from learning_embeddings_tpu.train.experiment import Checkpointer
+
+    ckpt = Checkpointer(r["experiment"])
+    payload = ckpt.load_raw("best_model")
+    assert "optimal_threshold" in payload
+
+    # --resume restores the latest numbered checkpoint and continues
+    r2 = main((f"--set_mode train --use_CNN --hide_levels "
+               f"--loss hyp_cones_loss --resume "
+               f"--data_dir {data_dir} --image_dir {img_dir} "
+               f"--model resnet18 --image_size 32 --embedding_dim 4 "
+               f"--n_epochs 4 --batch_size 6 --neg_to_pos_ratio 2 "
+               f"--eval_interval 1 --experiment_name jcnn "
+               f"--experiment_dir {tmp_path / 'exp'}").split())
+    epochs = sorted(int(d) for d in os.listdir(r2["experiment"].weights)
+                    if d.isdigit())
+    assert epochs == [0, 1, 2, 3]   # 0-1 from run 1, 2-3 resumed
+
+
+def test_use_cnn_cli_load_emb_from(tmp_path):
+    """--load_emb_from on the --use_CNN CLI: the label table AND its
+    calibrated threshold load from a label-embedding checkpoint; with
+    --lr 0 the table stays exactly the warm start through training."""
+    import json as _json
+    import os
+
+    import cv2
+    import jax
+
+    from learning_embeddings_tpu.cli.oe_h import main
+    from learning_embeddings_tpu.geometry import inner_radius
+    from learning_embeddings_tpu.train.experiment import (Checkpointer,
+                                                          ExperimentDir)
+
+    rng = np.random.RandomState(0)
+    data_dir = tmp_path / "splits"
+    img_dir = tmp_path / "imgs"
+    os.makedirs(data_dir)
+    os.makedirs(img_dir / "d")
+    recs = {}
+    for t in range(24):
+        name = f"im_{t}.jpg"
+        cv2.imwrite(str(img_dir / "d" / name),
+                    rng.randint(0, 255, (40, 40, 3), np.uint8))
+        leaf = t % 3
+        recs[f"tok{t}"] = {
+            "token": f"tok{t}", "image_path": "d", "image_name": name,
+            "family": f"F{leaf % 2}", "subfamily": f"S{leaf % 2}",
+            "genus": f"G{leaf % 2}", "specific_epithet": f"e{leaf}"}
+    with open(data_dir / "val.json", "w") as f:
+        _json.dump(recs, f)
+
+    # label-only-style checkpoint: {params: embedder vars, opt_state,
+    # optimal_threshold}
+    n_labels = 2 + 2 + 2 + 3
+    r0 = inner_radius(0.1)
+    table = rng.randn(n_labels, 4).astype(np.float32)
+    table = table / np.linalg.norm(table, axis=1, keepdims=True) * (r0 + 0.03)
+    lab_exp = ExperimentDir(str(tmp_path / "labexp"), "lab")
+    Checkpointer(lab_exp).save("best_model", {
+        "params": {"params": {"embedding": table}},
+        "opt_state": {}, "optimal_threshold": 0.125})
+
+    r = main((f"--set_mode train --use_CNN --loss hyp_cones_loss "
+              f"--load_emb_from {lab_exp.weights}/best_model "
+              f"--data_dir {data_dir} --image_dir {img_dir} "
+              f"--model resnet18 --image_size 32 --embedding_dim 4 "
+              f"--lr 0 --n_epochs 1 --batch_size 6 --neg_to_pos_ratio 2 "
+              f"--eval_interval 1 --experiment_name warm "
+              f"--experiment_dir {tmp_path / 'exp2'}").split())
+    got = [p for p in jax.tree_util.tree_leaves(
+        r["trainer"].params["labels"]) if p.shape == table.shape][0]
+    np.testing.assert_allclose(np.asarray(got), table, rtol=1e-6)

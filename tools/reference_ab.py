@@ -85,6 +85,40 @@ def setup_sandbox():
     return run_cwd
 
 
+def setup_butterfly_db():
+    """The upstream hyp-cone driver's last committed state is hardwired to
+    Butterfly200 (`labelmap = Butterfly200LabelMap()` in every branch,
+    order_embeddings_h.py:1358-1362, paths :1386-1415). No Butterfly200
+    record DB ships with the repo, so synthesize one record per leaf from
+    the hard-coded taxonomy dicts — the graph then covers the full
+    5/23/116/200 = 344-node taxonomy, exactly like the rebuild's frozen
+    `--taxonomy butterfly200` quality runs (BASELINE.md)."""
+    db_dir = os.path.join(AB_ROOT, "database", "butterfly200")
+    path = os.path.join(db_dir, "train.json")
+    if os.path.exists(path):
+        return
+    os.makedirs(db_dir, exist_ok=True)
+    from data.db import Butterfly200LabelMap   # after setup_modules()
+
+    lm = Butterfly200LabelMap()
+    genus_to_sf = {g: sf for sf, gs in lm.child_of_subfamily.items()
+                   for g in gs}
+    sf_to_fam = {sf: f for f, sfs in lm.child_of_family.items()
+                 for sf in sfs}
+    recs = {}
+    for genus, leaves in lm.child_of_genus.items():
+        for leaf in leaves:
+            sf = genus_to_sf[genus]
+            tok = f"b{len(recs)}"
+            recs[tok] = {"token": tok, "image_path": "", "image_name":
+                         f"{leaf}.jpg", "family": sf_to_fam[sf],
+                         "subfamily": sf, "genus": genus,
+                         "specific_epithet": leaf}
+    for split in ("train", "val", "test"):
+        with open(os.path.join(db_dir, f"{split}.json"), "w") as f:
+            json.dump(recs, f)
+
+
 def setup_modules():
     sys.path.insert(0, os.path.join(HERE, "ref_ab_stubs"))
     sys.path.insert(0, REF)
@@ -166,7 +200,13 @@ def make_args(loss, experiment_name, n_epochs, lr, alpha):
         prop_of_nb_edges=0.90, resume=False, weigh_pos_term=False,
         optimizer_method="adam", merged=True, weigh_neg_term=False,
         weight_strategy="inv", model="alexnet", loss=loss,
-        use_grayscale=False, class_weights=False, freeze_weights=False,
+        use_grayscale=False,
+        # class_weights=True swaps the G-building image loader from the
+        # with-replacement WeightedResampler to plain shuffle — exact
+        # taxonomy coverage (the resampler can miss 1-record leaves, and
+        # create_splits indexes A by raw label id, crashing on gaps);
+        # this driver uses no criterion weights, so nothing else changes
+        class_weights=True, freeze_weights=False,
         pick_per_level=True, set_mode="train", level_weights=None,
         lr_step=[], lr_decay=1.0, random_seed=0, load_cosine_emb=None)
 
@@ -210,6 +250,8 @@ def run_one(kind, n_epochs, lr=None):
 
     if kind == "hyp_cones":
         import network.order_embeddings_h as mod
+        setup_butterfly_db()          # the upstream driver is hardwired to
+        #                               Butterfly200 (see setup_butterfly_db)
         loss = "euc_cones_loss"       # EucConesLoss in _h IS the
         #                               hyperbolic cone (misnamed upstream)
         alpha = 0.05
@@ -228,6 +270,11 @@ def run_one(kind, n_epochs, lr=None):
         mod.OrderEmbedding.plot_label_embeddings = lambda self: None
 
     args = make_args(loss, name, n_epochs, use_lr, alpha)
+    if kind == "hyp_cones":
+        # the hyp trainer's train() accepts only 'sgd' (a dummy optimizer:
+        # the real update is the manual RSGD in pass_samples,
+        # order_embeddings_h.py:588-594, 765-778)
+        args.optimizer_method = "sgd"
     log_f = open(log_path, "w")
     old_out, old_err = sys.stdout, sys.stderr
     sys.stdout = Tee(old_out, log_f)
@@ -236,7 +283,10 @@ def run_one(kind, n_epochs, lr=None):
     try:
         mod.order_embedding_train_model(args)
     except Exception as e:  # post-train viz may fail; numbers print first
+        import traceback
+
         status = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
         print(f"== driver raised after/while training: {status}")
     finally:
         sys.stdout, sys.stderr = old_out, old_err
