@@ -82,6 +82,32 @@ def augment_eval(img: np.ndarray, size: int) -> np.ndarray:
     return _resize(img, (size, size))
 
 
+_PREFETCH_END = object()
+
+
+def prefetch_one(iterable):
+    """One-deep pipelined iteration: item k+1 is computed on a background
+    thread while the consumer processes item k — the TPU-host counterpart
+    of the reference's DataLoader-worker overlap
+    (ethec_experiments.py:351-364). Production of consecutive items stays
+    serialized (safe for stateful generators, e.g. samplers drawing from
+    one RNG); only production overlaps consumption."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(iterable)
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(next, it, _PREFETCH_END)
+        while True:
+            item = fut.result()
+            if item is _PREFETCH_END:
+                return
+            fut = ex.submit(next, it, _PREFETCH_END)
+            yield item
+    finally:
+        ex.shutdown(wait=False)
+
+
 def augment_joint_train(img: np.ndarray, size: int,
                         rng: np.random.RandomState) -> np.ndarray:
     """resize (S, S) → random hflip — the JOINT trainers' train transform

@@ -68,6 +68,11 @@ class JointCNNConfig:
     K: Optional[float] = None
     tower_dtype: str = "bfloat16"  # compute dtype of the CNN tower (MXU
     #   wants bf16; float32 for exact-parity testing)
+    pixel_bucket: Optional[int] = None  # unique-image pad granularity (one
+    #   jit compile per bucket); default = batch_size. Raise it when
+    #   compiles are expensive (e.g. remote TPU) to collapse the bucket set
+    prefetch: bool = True  # overlap host batch prep (sampling + pixel
+    #   gather) with the device step via a one-deep background thread
     freeze_bn: bool = False  # frozen BN stats in the image tower (no
     #                          stat/stat-grad sweeps — see BASELINE.md)
     freeze_images: bool = False  # --freeze_weights: feature-extracting
@@ -272,10 +277,10 @@ class JointCNNTrainer:
         img_rows = np.unique(all_ids[all_ids >= nl]) - nl
         if len(img_rows) == 0:
             img_rows = np.zeros((1,), np.int64)   # static-friendly dummy
-        # pad the unique-image count to a bucket (multiple of batch_size,
-        # and of the mesh's data shards) so the jitted step compiles once
-        # per bucket and shards evenly
-        q = self.cfg.batch_size
+        # pad the unique-image count to a bucket (multiple of pixel_bucket
+        # or batch_size, and of the mesh's data shards) so the jitted step
+        # compiles once per bucket and shards evenly
+        q = self.cfg.pixel_bucket or self.cfg.batch_size
         if self.mesh is not None:
             q = math.lcm(q, self.mesh.shape["data"])
         bucket = -(-len(img_rows) // q) * q
@@ -337,15 +342,29 @@ class JointCNNTrainer:
         if len(edges) < bs:
             edges = np.resize(edges, (bs, 2))
         nb = max(len(edges) // bs, 1)
-        total, ep_sum, en_sum = 0.0, 0.0, 0.0
-        for b in range(nb):
-            e = edges[b * bs:(b + 1) * bs]
-            loss, e_pos, e_neg = self.train_batch(e[:, 0], e[:, 1])
-            total += loss
-            ep_sum += float(jnp.mean(e_pos))
-            en_sum += float(jnp.mean(e_neg))
-        return {"loss": total, "e_pos_mean": ep_sum / nb,
-                "e_neg_mean": en_sum / nb}
+
+        def prepared_batches():
+            for b in range(nb):
+                e = edges[b * bs:(b + 1) * bs]
+                yield self.prepare_batch(e[:, 0], e[:, 1])
+
+        batches = prepared_batches()
+        if self.cfg.prefetch:
+            # host prep of batch k+1 overlaps the device step of batch k
+            from ..data.pipeline import prefetch_one
+
+            batches = prefetch_one(batches)
+        # accumulate on device (no per-batch host sync — syncing would
+        # stall the dispatch queue and defeat the prefetch overlap)
+        losses, eps, ens = [], [], []
+        for prepared in batches:
+            loss, e_pos, e_neg = self.train_prepared(prepared)
+            losses.append(loss)
+            eps.append(jnp.mean(e_pos))
+            ens.append(jnp.mean(e_neg))
+        return {"loss": float(jnp.sum(jnp.stack(losses))),
+                "e_pos_mean": float(jnp.mean(jnp.stack(eps))),
+                "e_neg_mean": float(jnp.mean(jnp.stack(ens)))}
 
     # ------------------------------------------------------------------
     # evaluation (reference joint eval: calculate_classification_metrics +
@@ -358,8 +377,14 @@ class JointCNNTrainer:
         rows = np.asarray(rows)
         out = []
         for i in range(0, len(rows), batch_size):
-            px = loader(rows[i:i + batch_size])
-            out.append(np.asarray(self.image_embeddings_from_pixels(px)))
+            chunk = rows[i:i + batch_size]
+            n = len(chunk)
+            if n < batch_size:
+                # pad the ragged tail to the chunk size: one jit compile
+                # total (remote TPU compiles are expensive)
+                chunk = np.resize(chunk, batch_size)
+            px = loader(chunk)
+            out.append(np.asarray(self.image_embeddings_from_pixels(px))[:n])
         return np.concatenate(out)
 
     def classification_metrics(self, img_paths_global, image_embs,
@@ -395,10 +420,12 @@ class JointCNNTrainer:
             energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
 
     def image_embeddings_from_pixels(self, pixels):
-        return self.featcnn.apply(
-            {"params": self.params["images"],
-             "batch_stats": self.batch_stats},
-            device_scale(jnp.asarray(pixels)), train=False)
+        if not hasattr(self, "_embed_jit"):
+            self._embed_jit = jax.jit(lambda p, s, px: self.featcnn.apply(
+                {"params": p, "batch_stats": s}, device_scale(px),
+                train=False))
+        return self._embed_jit(self.params["images"], self.batch_stats,
+                               jnp.asarray(pixels))
 
     def label_embeddings(self):
         return self.embedder.apply(self.params["labels"],

@@ -191,6 +191,28 @@ def test_half_half_reaches_cnn_epoch(setup, monkeypatch):
     assert seen["half_half"] is True
 
 
+def test_prefetch_preserves_epoch_semantics(setup):
+    """prefetch=True (host prep overlapped with the device step) must be
+    an execution-order change only: identical losses to the serial path
+    (production stays serialized, so the sampler RNG sequence matches)."""
+    from learning_embeddings_tpu.data.pipeline import prefetch_one
+
+    assert list(prefetch_one(iter(range(50)))) == list(range(50))
+
+    lm, graph, train_edges, loader, leaves = setup
+    out = {}
+    for prefetch in (False, True):
+        cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                             embedding_dim=4, image_size=24, lr_labels=0.02,
+                             lr_images=0.005, batch_size=8,
+                             neg_to_pos_ratio=3, alpha=0.01, seed=0,
+                             prefetch=prefetch)
+        tr = JointCNNTrainer(lm, graph, train_edges, loader, cfg)
+        out[prefetch] = tr.train_epoch(0, np.random.RandomState(0))
+    np.testing.assert_allclose(out[True]["loss"], out[False]["loss"],
+                               rtol=1e-6)
+
+
 def test_load_embedding_table_warm_start(setup):
     """--load_emb_from: a table already inside the Poincare annulus loads
     VERBATIM into the raw label params (reference load_emb_model restores

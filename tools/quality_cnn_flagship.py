@@ -1,0 +1,129 @@
+"""Converged `--use_CNN` flagship quality run on TPU (VERDICT r2 #3): the
+north-star configuration — ResNet-50 tower on PIXELS + hyperbolic cones +
+curriculum + half_half on the real 723-node ETHEC taxonomy — trained to
+convergence through `run_joint_cnn`, the same code path `bench.py joint`
+measures.
+
+Data: ETHEC pixels don't exist in this environment (only split metadata
+ships), so images are synthetic-but-separable per leaf — one random 8x8
+color pattern per leaf upsampled to 448 plus per-image uniform noise,
+built DIRECTLY IN DEVICE HBM as uint8 banks (the dev harness's 15 MB/s
+host->device tunnel would otherwise dominate; a production TPU host feeds
+pixels at PCIe rates, so device-resident banks measure the honest device
+capability — same rationale as bench.py). The pixel_loader is a device
+gather, so `prepare_batch` ships only index arrays.
+
+Run:  python tools/quality_cnn_flagship.py [n_epochs] [n_per_leaf]
+      (cwd /root/repo for the axon TPU plugin; ~1-2 h at defaults)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.getcwd())
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _ethec_labelmap
+from learning_embeddings_tpu.losses.joint_sampling import build_joint_graph
+from learning_embeddings_tpu.train.joint_cnn import JointCNNConfig
+from learning_embeddings_tpu.train.runner import run_joint_cnn
+
+EXP_DIR = "experiments/quality_r3"
+OUT = os.path.join(EXP_DIR, "results.json")
+
+N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+N_PER_LEAF = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+# env overrides for a CPU smoke (LE_Q3_SIZE=32 LE_Q3_BACKBONE=resnet18
+# PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/quality_cnn_flagship.py 1 1)
+SIZE = int(os.environ.get("LE_Q3_SIZE", 448))
+BACKBONE = os.environ.get("LE_Q3_BACKBONE", "resnet50")
+NAME = f"joint_cnn_flagship_{N_EPOCHS}ep"
+
+t0 = time.time()
+lm = _ethec_labelmap()
+n_leaves = lm.levels[-1]
+rng = np.random.RandomState(0)
+
+# one 8x8x3 uint8 pattern per leaf (separable); upsample + noise on device
+patterns = rng.randint(0, 256, (n_leaves, 8, 8, 3)).astype(np.uint8)
+
+
+def make_bank(leaves, salt):
+    """(n, SIZE, SIZE, 3) uint8 device bank: pattern[leaf] upsampled +
+    per-image noise (deterministic per salt). Built in 128-row chunks so
+    the int32 noise temporaries stay small in HBM."""
+    @jax.jit
+    def chunk(small, key):
+        up = jnp.repeat(jnp.repeat(small, SIZE // 8, 1), SIZE // 8, 2)
+        noise = jax.random.randint(key, up.shape, -25, 26, jnp.int32)
+        return jnp.clip(up.astype(jnp.int32) + noise, 0, 255).astype(
+            jnp.uint8)
+
+    n, C = len(leaves), 128
+    pad = -(-n // C) * C if n > C else n
+    rows = np.resize(np.asarray(leaves), pad)
+    parts = [chunk(jnp.asarray(patterns[rows[i:i + C]]),
+                   jax.random.PRNGKey(salt * 100003 + i))
+             for i in range(0, pad, C)]
+    return jnp.concatenate(parts)[:n]
+
+
+def device_loader(bank):
+    n = bank.shape[0]
+
+    def load(rows):
+        return bank[jnp.asarray(np.asarray(rows) % n)]
+    return load
+
+
+train_leaves = np.repeat(np.arange(n_leaves), N_PER_LEAF)
+eval_leaves = np.arange(n_leaves)
+ll_train = lm.leaf_paths()[train_leaves]
+graph, train_edges = build_joint_graph(lm, ll_train)
+print(f"graph: {graph.n_labels} labels + {graph.n_images} train images, "
+      f"{len(train_edges)} edges", flush=True)
+
+banks = {
+    "train": make_bank(train_leaves, 1),
+    "val": make_bank(eval_leaves, 2),
+    "test": make_bank(eval_leaves, 3),
+}
+eval_paths = lm.leaf_paths()[eval_leaves] + np.asarray(
+    lm.level_start)[None, :]
+
+cfg = JointCNNConfig(
+    energy="hyp_cone", backbone=BACKBONE, embedding_dim=10,
+    image_size=SIZE, lr_labels=1e-3, lr_images=1e-3, batch_size=16,
+    neg_to_pos_ratio=5, alpha=0.05, optimizer_labels="adam",
+    pick_per_level=True, half_half=True,
+    curriculum={0: (1, 2, 3), 5: (2, 3), 12: (3,), 25: ()},  # compressed
+    #   reference schedule (oe_h.py:1534-1536 / 4 — BASELINE.md r2 showed
+    #   it matches the verbatim schedule at convergence)
+    seed=0, pixel_bucket=96)
+
+res = run_joint_cnn(
+    lm, graph, train_edges, device_loader(banks["train"]), cfg,
+    experiment_dir=EXP_DIR, experiment_name=NAME,
+    n_epochs=N_EPOCHS, eval_interval=4,
+    eval_sets={s: (eval_paths, device_loader(banks[s]))
+               for s in ("val", "test")},
+    manifest_args={"loss": "hyp_cones_loss", "use_CNN": "True",
+                   "hide_levels": "True", "half_half": "True"})
+
+flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
+flat["wall_s"] = round(time.time() - t0, 1)
+os.makedirs(EXP_DIR, exist_ok=True)
+results = json.load(open(OUT)) if os.path.exists(OUT) else {}
+results[NAME] = flat
+with open(OUT, "w") as f:
+    json.dump(results, f, indent=2)
+print("==", flat, flush=True)
