@@ -254,9 +254,11 @@ def main_joint_hostfed(batch_size: int = 16, steps: int = 8,
 
     def pixel_loader(rows):
         rows = np.asarray(rows)
+        # pad=0: joint train transform = resize + hflip, no crop
+        # (oe_h.py:1463-1467)
         batch, status = native_loader.load_augment_batch(
             [paths_disk[int(r) % n_images] for r in rows], image_size,
-            train=True, seed=int(rows[0]) if len(rows) else 0,
+            pad=0, train=True, seed=int(rows[0]) if len(rows) else 0,
             out_dtype=np.uint8)
         assert (status == 0).all()
         return batch

@@ -226,8 +226,12 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
                     ).endswith((".jpg", ".jpeg")):
                 paths = [os.path.join(args.image_dir, ds.image_paths[r])
                          for r in rows]
+                # pad=0: the JOINT train transform is resize + hflip with
+                # NO crop (oe_h.py:1463-1467) — a zero-headroom crop
+                # window degenerates the native loader's resize→crop to a
+                # plain resize
                 batch, status = native_loader.load_augment_batch(
-                    paths, size, train=True, seed=seed)
+                    paths, size, pad=0, train=True, seed=seed)
                 if (status == 0).all():
                     return batch
         except Exception:

@@ -35,6 +35,24 @@ def test_batch_shapes_and_range(jpegs):
     assert 0.0 <= batch.min() and batch.max() <= 1.0
 
 
+def test_pad0_train_is_resize_plus_flip(jpegs):
+    """pad=0 + train=True (the JOINT train transform, oe_h.py:1463-1467):
+    the zero-headroom crop degenerates to a plain resize, so every output
+    must equal the eval resize or its horizontal mirror."""
+    ev, _ = native_loader.load_augment_batch(jpegs, 64, train=False)
+    tr, status = native_loader.load_augment_batch(jpegs, 64, pad=0,
+                                                  train=True, seed=5)
+    assert (status == 0).all()
+    flips = 0
+    for a, b in zip(tr, ev):
+        if np.array_equal(a, b):
+            continue
+        assert np.array_equal(a, b[:, ::-1]), \
+            "pad=0 train output is neither the resize nor its mirror"
+        flips += 1
+    assert 0 < flips < len(jpegs)   # hflip fires with p=0.5
+
+
 def test_eval_matches_python_pipeline(jpegs):
     """Eval path (plain resize) must match the cv2 python pipeline pixel
     values closely (same half-pixel bilinear; jpeg decoders may differ by
