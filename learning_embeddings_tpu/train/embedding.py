@@ -83,10 +83,19 @@ class EmbeddingTrainer:
     """Host-side epoch driver around a fully jitted scan-of-steps."""
 
     def __init__(self, labelmap: LabelMap, splits: EdgeSplits,
-                 config: EmbeddingTrainerConfig):
+                 config: EmbeddingTrainerConfig, mesh=None):
+        """mesh: optional ('data','model') mesh — edge batches shard over
+        'data', the table/optimizer replicate and GSPMD all-reduces the
+        gradients (the reference DataParallel-wraps this Embedder too,
+        order_embeddings.py:360)."""
         self.labelmap = labelmap
         self.splits = splits
         self.cfg = config
+        self.mesh = mesh
+        if mesh is not None and config.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide evenly over "
+                f"the mesh's {mesh.shape['data']} 'data' shards")
         self.K = config.K if config.K is not None else ENERGY_DEFAULT_K[config.energy]
         mode = ENERGY_TO_MODE[config.energy]
         n = splits.negatives.shape[0]
@@ -194,13 +203,22 @@ class EmbeddingTrainer:
                 params = project_annulus_tree(params, K)
             return (params, opt_state, key), (loss, e_pos, e_neg)
 
-        @jax.jit
         def epoch(params, opt_state, key, pos_from_b, pos_to_b):
             (params, opt_state, key), (losses, e_pos, e_neg) = jax.lax.scan(
                 step, (params, opt_state, key), (pos_from_b, pos_to_b))
             return params, opt_state, key, losses, e_pos, e_neg
 
-        return epoch
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            bsh = NamedSharding(self.mesh, P(None, "data"))   # (nb, bs)
+            return jax.jit(epoch, in_shardings=(
+                jax.tree_util.tree_map(lambda _: rep, self.params),
+                jax.tree_util.tree_map(lambda _: rep, self.opt_state,
+                                       is_leaf=lambda x: hasattr(x, "shape")),
+                rep, bsh, bsh))
+        return jax.jit(epoch)
 
     # ------------------------------------------------------------------
     def _batched_train_edges(self, rng: np.random.RandomState):

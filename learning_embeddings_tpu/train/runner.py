@@ -344,14 +344,25 @@ def run_label_embedding(
     resume: bool = False,
     manifest_args: Optional[Dict] = None,
     init_embeddings: Optional[np.ndarray] = None,
+    mesh="auto",
 ):
     from .embedding import EmbeddingTrainer
+
+    if mesh == "auto":
+        # shard edge batches over every attached chip when they divide
+        # evenly (the reference DataParallel-wraps the Embedder,
+        # order_embeddings.py:360)
+        from ..parallel.mesh import make_mesh
+
+        n_dev = jax.device_count()
+        mesh = (make_mesh(n_data=n_dev, n_model=1)
+                if n_dev > 1 and config.batch_size % n_dev == 0 else None)
 
     exp = ExperimentDir(experiment_dir, experiment_name)
     write_manifest(exp, manifest_args or {})
     logger = MetricsLogger(exp)
     ckpt = Checkpointer(exp)
-    trainer = EmbeddingTrainer(labelmap, splits, config)
+    trainer = EmbeddingTrainer(labelmap, splits, config, mesh=mesh)
     if init_embeddings is not None:
         trainer.load_embedding_table(init_embeddings)
 

@@ -32,6 +32,33 @@ def run(lm, splits, cfg, epochs):
     return tr, stats
 
 
+def test_label_embedding_mesh_parity():
+    """The meshed label-embedding epoch (edge batches over 'data', table
+    replicated) reproduces the single-device epoch bit-for-bit in logical
+    semantics (reference DataParallel wrap, order_embeddings.py:360)."""
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+
+    lm, splits = toy_splits(branching=2, n_levels=3)
+    cfg = EmbeddingTrainerConfig(energy="hyp_cone", embedding_dim=4,
+                                 lr=1e-2, optimizer="adam", batch_size=8,
+                                 neg_to_pos_ratio=3, seed=0)
+    mesh = make_mesh(n_data=8, n_model=1)
+    tr_m = EmbeddingTrainer(lm, splits, cfg, mesh=mesh)
+    tr_s = EmbeddingTrainer(lm, splits, cfg, mesh=None)
+    sm = tr_m.train_epoch(np.random.RandomState(0))
+    ss = tr_s.train_epoch(np.random.RandomState(0))
+    np.testing.assert_allclose(sm["loss"], ss["loss"], rtol=1e-5)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(tr_m.params),
+                    jax.tree_util.tree_leaves(tr_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    with pytest.raises(ValueError, match="divide evenly"):
+        EmbeddingTrainer(lm, splits,
+                         EmbeddingTrainerConfig(batch_size=7), mesh=mesh)
+
+
 def test_order_embedding_perfect_reconstruction():
     lm, splits = toy_splits()
     cfg = EmbeddingTrainerConfig(energy="order", embedding_dim=4, lr=0.01,
