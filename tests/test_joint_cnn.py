@@ -242,6 +242,28 @@ def test_load_embedding_table_warm_start(setup):
     assert (norms >= r0 - 1e-6).all() and (norms < 1.0).all()
 
 
+def test_eval_max_images_caps_and_logs(setup, tmp_path, capsys):
+    """--eval_max_images: the eval-split cap is applied AND logged (the
+    repo's no-silent-caps rule; the r2 CNN path silently capped at 512)."""
+    from learning_embeddings_tpu.train.runner import run_joint_cnn
+
+    lm, graph, train_edges, loader, leaves = setup
+    paths = graph.image_paths_global
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, batch_size=8,
+                         neg_to_pos_ratio=2, seed=0)
+    res = run_joint_cnn(
+        lm, graph, train_edges, loader, cfg,
+        experiment_dir=str(tmp_path), experiment_name="cap",
+        n_epochs=1, eval_interval=1,
+        eval_sets={"val": (paths, loader), "test": (paths, loader)},
+        eval_max_images=8)
+    out = capsys.readouterr().out
+    assert "capping val eval at 8 of" in out
+    assert "capping test eval at 8 of" in out
+    assert "micro_f1" in res["test_metrics"]
+
+
 def test_use_cnn_cli_evaluates_and_checkpoints(tmp_path):
     """--use_CNN end-to-end: curriculum applied, val metrics tracked, best
     checkpoint saved, final test metrics + reconstruction returned."""
