@@ -354,14 +354,20 @@ class JointCNNTrainer:
             from ..data.pipeline import prefetch_one
 
             batches = prefetch_one(batches)
-        # accumulate on device (no per-batch host sync — syncing would
-        # stall the dispatch queue and defeat the prefetch overlap)
+        # accumulate on device, but BOUND the dispatch queue: host dispatch
+        # outruns 100+ms device steps, and every queued step pins its
+        # pixel buffers in HBM — an unbounded epoch of queued (U,448,448,3)
+        # batches OOMs. Materializing a loss K steps back keeps K steps in
+        # flight (overlap preserved) with bounded live buffers.
         losses, eps, ens = [], [], []
+        K = 4
         for prepared in batches:
             loss, e_pos, e_neg = self.train_prepared(prepared)
             losses.append(loss)
             eps.append(jnp.mean(e_pos))
             ens.append(jnp.mean(e_neg))
+            if len(losses) % K == 0:
+                float(losses[-K])   # value fetch = true sync (tunnel-safe)
         return {"loss": float(jnp.sum(jnp.stack(losses))),
                 "e_pos_mean": float(jnp.mean(jnp.stack(eps))),
                 "e_neg_mean": float(jnp.mean(jnp.stack(ens)))}

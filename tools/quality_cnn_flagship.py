@@ -101,13 +101,13 @@ eval_paths = lm.leaf_paths()[eval_leaves] + np.asarray(
 
 cfg = JointCNNConfig(
     energy="hyp_cone", backbone=BACKBONE, embedding_dim=10,
-    image_size=SIZE, lr_labels=1e-3, lr_images=1e-3, batch_size=16,
+    image_size=SIZE, lr_labels=1e-3, lr_images=1e-3, batch_size=10,
     neg_to_pos_ratio=5, alpha=0.05, optimizer_labels="adam",
     pick_per_level=True, half_half=True,
     curriculum={0: (1, 2, 3), 5: (2, 3), 12: (3,), 25: ()},  # compressed
     #   reference schedule (oe_h.py:1534-1536 / 4 — BASELINE.md r2 showed
     #   it matches the verbatim schedule at convergence)
-    seed=0, pixel_bucket=96)
+    seed=0, pixel_bucket=112)
 
 res = run_joint_cnn(
     lm, graph, train_edges, device_loader(banks["train"]), cfg,
