@@ -257,8 +257,13 @@ def make_joint_negative_sampler(
             hi = np.searchsorted(anc, u, side="right")
             run_start_np[l, u] = lo
             run_cnt_np[l, u] = hi - lo
-    if visible is not None and L in visible and \
-            bool((run_cnt_np == ni).any()):
+    # the empty-complement guard only applies if the image-level pass can
+    # actually fire: corrupt-'to' image draws happen on pass slots where
+    # pass_levels[r] == L (with pick_per_level=False the unrestricted pass
+    # mixes label candidates in, so the row is never empty)
+    image_pass_used = pass_levels is not None and bool(
+        (pass_levels == L).any())
+    if image_pass_used and bool((run_cnt_np == ni).any()):
         # a label every image descends from has an EMPTY negative-image
         # complement; the clamped draw below would silently return a
         # descendant (a positive trained as a negative). The reference

@@ -475,13 +475,25 @@ def _run_joint_loop(
     recalibration before the final test + reconstruction."""
     logger = MetricsLogger(exp)
     ckpt = Checkpointer(exp)
-    like = trainer.checkpoint_payload()
 
+    # checkpoints carry the loop's best-model bookkeeping alongside the
+    # trainer payload, so --resume keeps competing against the ORIGINAL
+    # best val score instead of overwriting best_model with the first
+    # post-resume eval
+    def _payload(best_f1, best_epoch):
+        return dict(trainer.checkpoint_payload(),
+                    best_f1=float(best_f1), best_epoch=float(best_epoch))
+
+    like = _payload(-1.0, -1)
+    best_f1, best_epoch = -1.0, -1
     start_epoch = 0
     if resume:
         latest = ckpt.find_existing_weights()
         if latest is not None:
-            trainer.restore_payload(ckpt.load(latest, like))
+            payload = ckpt.load(latest, like)
+            best_f1 = float(payload.pop("best_f1"))
+            best_epoch = int(payload.pop("best_epoch"))
+            trainer.restore_payload(payload)
             start_epoch = latest + 1
 
     def _eval(split):
@@ -490,7 +502,6 @@ def _run_joint_loop(
             trainer.optimal_threshold = float(em.threshold)
         return m, em
 
-    best_f1, best_epoch = -1.0, -1
     rng = np.random.RandomState(seed)
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
@@ -505,15 +516,18 @@ def _run_joint_loop(
             logger.scalars("val", scal, epoch)
             if m["micro_f1"] > best_f1:
                 best_f1, best_epoch = m["micro_f1"], epoch
-                ckpt.save("best_model", trainer.checkpoint_payload())
-        ckpt.save(epoch, trainer.checkpoint_payload())
+                ckpt.save("best_model", _payload(best_f1, best_epoch))
+        ckpt.save(epoch, _payload(best_f1, best_epoch))
         logger.scalar("epoch_time", time.time() - t0, epoch)
 
     # reload the best model + ITS calibrated threshold before the final
     # test pass (reference loads best_model_wts and persists
     # optimal_threshold in every checkpoint, oe_h.py:1882,1909,1959-1965)
     if best_epoch >= 0:
-        trainer.restore_payload(ckpt.load("best_model", like))
+        payload = ckpt.load("best_model", like)
+        payload.pop("best_f1")
+        payload.pop("best_epoch")
+        trainer.restore_payload(payload)
     if trainer.optimal_threshold is None and has_val_edges:
         # never sweep the edge threshold on test data: calibrate on val
         _eval("val")
@@ -605,14 +619,18 @@ def run_joint_cnn(
     mesh=None,
     init_embeddings: Optional[np.ndarray] = None,
     init_threshold: Optional[float] = None,
+    train_eval_loader=None,
 ):
     """--use_CNN joint runner: same experiment contract as the fc7 path
     (shared `_run_joint_loop`), with image embeddings computed through the
     CNN tower. eval_sets[split] = ((n, L) global ancestor paths,
-    loader(rows)->pixels); when absent, falls back to the train images.
-    eval_max_images caps eval embedding work per split — the cap is LOGGED
-    (the reference scores full splits, oe_h.py:1971-2178; no silent
-    caps)."""
+    loader(rows)->pixels); when absent, falls back to the train images
+    (scored with `train_eval_loader` when given — the train pixel_loader
+    augments, which would jitter eval). eval_max_images caps eval
+    embedding work per split via a seeded RANDOM subsample — the cap is
+    LOGGED (the reference scores full splits, oe_h.py:1971-2178; no
+    silent caps; split jsons are taxon-ordered, so a prefix would score
+    one branch only)."""
     from .joint_cnn import JointCNNTrainer
 
     exp = ExperimentDir(experiment_dir, experiment_name)
@@ -629,22 +647,29 @@ def run_joint_cnn(
         if held_out:
             paths, loader = eval_sets[split]
         else:
-            paths, loader = graph.image_paths_global, trainer.pixel_loader
+            paths = graph.image_paths_global
+            loader = train_eval_loader or trainer.pixel_loader
+            if train_eval_loader is None:
+                print("run_joint_cnn: no eval_sets and no "
+                      "train_eval_loader — scoring train images with the "
+                      "AUGMENTING train loader (metrics will jitter)")
         paths = np.asarray(paths)
-        n = len(paths)
-        if eval_max_images is not None and n > eval_max_images:
+        rows = np.arange(len(paths))
+        if eval_max_images is not None and len(rows) > eval_max_images:
             print(f"run_joint_cnn: capping {split} eval at "
-                  f"{eval_max_images} of {n} images (--eval_max_images)")
-            n = eval_max_images
+                  f"{eval_max_images} of {len(rows)} images, seeded "
+                  f"random subsample (--eval_max_images)")
+            rows = np.random.RandomState(config.seed + 7).choice(
+                len(rows), eval_max_images, replace=False)
         embs = trainer.image_embeddings_for_rows(
-            np.arange(n), loader=loader, batch_size=config.batch_size)
-        m = trainer.classification_metrics(paths[:n], embs)
+            rows, loader=loader, batch_size=config.batch_size)
+        m = trainer.classification_metrics(paths[rows], embs)
         if not held_out:
             return m, None        # no edge pass on train images
         th = trainer.optimal_threshold if split == "test" else None
         if split == "test" and th is None:
             return m, None        # never sweep the threshold on test
-        em = trainer.edge_metrics(paths[:n], embs, threshold=th)
+        em = trainer.edge_metrics(paths[rows], embs, threshold=th)
         return m, em
 
     return _run_joint_loop(

@@ -150,6 +150,10 @@ def test_empty_image_complement_raises(setup):
     # hiding nothing but sampling without per-level passes stays legal
     # (the unrestricted pass mixes label candidates in)
     make_joint_negative_sampler(graph, 4, pick_per_level=False)
+    # a ratio too small for the image-level pass to ever fire must not be
+    # rejected at build time (pass slots = visible[r % len(visible)] for
+    # r < R: with L=3 and R=2, only label levels 0 and 1 appear)
+    make_joint_negative_sampler(graph, 2, pick_per_level=True)
 
 
 def test_joint_sampler_respects_hidden_levels(setup):

@@ -261,6 +261,7 @@ def test_eval_max_images_caps_and_logs(setup, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "capping val eval at 8 of" in out
     assert "capping test eval at 8 of" in out
+    assert "random subsample" in out   # prefix would score one taxon branch
     assert "micro_f1" in res["test_metrics"]
 
 

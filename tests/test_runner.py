@@ -120,6 +120,50 @@ def test_embedding_runner_resume_and_threshold_payload(tmp_path):
     assert payload["optimal_threshold"] > 0.0
 
 
+def test_joint_resume_preserves_best_tracking(tmp_path):
+    """--resume must keep competing against the ORIGINAL best val score
+    (best_f1/best_epoch ride in the checkpoint payload) — a reset to -1
+    would overwrite best_model with the first post-resume eval; and a
+    resume past completion must still reload and score the best model."""
+    import numpy as np
+
+    from learning_embeddings_tpu.hierarchy import toy_labelmap
+    from learning_embeddings_tpu.losses.joint_sampling import (
+        build_joint_graph)
+    from learning_embeddings_tpu.train.joint import JointTrainerConfig
+    from learning_embeddings_tpu.train.runner import run_joint_embedding
+
+    lm = toy_labelmap(branching=2, n_levels=3)
+    rng = np.random.RandomState(0)
+    leaves = np.repeat(np.arange(lm.levels[-1]), 4)
+    ll = lm.leaf_paths()[leaves]
+    graph, train_edges = build_joint_graph(lm, ll)
+    centers = rng.randn(lm.levels[-1], 16) * 3
+    feats = (centers[leaves] + 0.3 * rng.randn(len(leaves), 16)).astype(
+        np.float32)
+    paths = ll + np.asarray(lm.level_start)[None, :]
+    cfg = JointTrainerConfig(energy="hyp_cone", embedding_dim=4,
+                             feature_dim=16, batch_size=10,
+                             neg_to_pos_ratio=3, alpha=0.05, seed=0)
+    kw = dict(experiment_dir=str(tmp_path), experiment_name="jres",
+              n_epochs=4, eval_interval=1,
+              eval_features={"val": feats, "test": feats},
+              eval_paths={"val": paths, "test": paths})
+    res1 = run_joint_embedding(lm, graph, train_edges, feats, cfg, **kw)
+    assert res1["best_epoch"] >= 0
+    # resume past completion: loop body never runs, yet the original best
+    # must be reloaded and reported
+    res2 = run_joint_embedding(lm, graph, train_edges, feats, cfg,
+                               **{**kw, "resume": True})
+    assert res2["best_val_micro_f1"] == pytest.approx(
+        res1["best_val_micro_f1"])
+    assert res2["best_epoch"] == res1["best_epoch"]
+    # resume with more epochs: best never decreases
+    res3 = run_joint_embedding(lm, graph, train_edges, feats, cfg,
+                               **{**kw, "n_epochs": 6, "resume": True})
+    assert res3["best_val_micro_f1"] >= res1["best_val_micro_f1"]
+
+
 def test_bottleneck2d_runner_plots(class_setup, tmp_path):
     lm, datasets, cfg = class_setup
     import dataclasses
