@@ -136,6 +136,7 @@ class FeatCNN(nn.Module):
     mode: str = "euclidean"
     K: Optional[float] = None
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False   # rematerialize trunk blocks (memory vs FLOPs)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -143,7 +144,7 @@ class FeatCNN(nn.Module):
 
         trunk = BACKBONES[self.backbone](
             num_classes=None, features_only=True, dtype=self.dtype,
-            name="trunk")
+            remat=self.remat, name="trunk")
         feats = trunk(images, train=train)
         x = nn.Dense(self.dim, name="fc")(feats)
         return geometry_map(x, self.mode, self.K)

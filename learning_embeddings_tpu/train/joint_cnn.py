@@ -73,6 +73,11 @@ class JointCNNConfig:
     #   compiles are expensive (e.g. remote TPU) to collapse the bucket set
     prefetch: bool = True  # overlap host batch prep (sampling + pixel
     #   gather) with the device step via a one-deep background thread
+    inflight_steps: int = 4  # dispatch-queue bound: sync on the loss this
+    #   many steps back (each queued step pins its HBM input buffers)
+    remat: bool = False  # rematerialize tower blocks in backward (trades
+    #   recompute FLOPs for activation memory — for 448-scale training
+    #   next to large device-resident pixel banks)
     freeze_bn: bool = False  # frozen BN stats in the image tower (no
     #                          stat/stat-grad sweeps — see BASELINE.md)
     freeze_images: bool = False  # --freeze_weights: feature-extracting
@@ -114,7 +119,8 @@ class JointCNNTrainer:
                                       K=self.K)
         self.featcnn = FeatCNN(backbone=cfg.backbone, dim=cfg.embedding_dim,
                                mode=mode, K=self.K,
-                               dtype=jnp.dtype(cfg.tower_dtype))
+                               dtype=jnp.dtype(cfg.tower_dtype),
+                               remat=cfg.remat)
         key = jax.random.PRNGKey(cfg.seed)
         k1, k2 = jax.random.split(key)
         img_vars = self.featcnn.init(
@@ -360,7 +366,7 @@ class JointCNNTrainer:
         # batches OOMs. Materializing a loss K steps back keeps K steps in
         # flight (overlap preserved) with bounded live buffers.
         losses, eps, ens = [], [], []
-        K = 4
+        K = max(self.cfg.inflight_steps, 1)
         for prepared in batches:
             loss, e_pos, e_neg = self.train_prepared(prepared)
             losses.append(loss)

@@ -107,7 +107,7 @@ cfg = JointCNNConfig(
     curriculum={0: (1, 2, 3), 5: (2, 3), 12: (3,), 25: ()},  # compressed
     #   reference schedule (oe_h.py:1534-1536 / 4 — BASELINE.md r2 showed
     #   it matches the verbatim schedule at convergence)
-    seed=0, pixel_bucket=112)
+    seed=0, pixel_bucket=64, inflight_steps=2, remat=True)
 
 res = run_joint_cnn(
     lm, graph, train_edges, device_loader(banks["train"]), cfg,
