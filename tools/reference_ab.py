@@ -139,6 +139,17 @@ def setup_modules():
 
     torch.load = functools.partial(torch.load, weights_only=False)
 
+    # networkx 3.x dropped the gpickle helpers the reference's combined
+    # graph cache uses (oe.py:468-483)
+    import pickle
+
+    import networkx as nx
+
+    if not hasattr(nx, "write_gpickle"):
+        nx.write_gpickle = lambda G, path: pickle.dump(
+            G, open(path, "wb"), pickle.HIGHEST_PROTOCOL)
+        nx.read_gpickle = lambda path: pickle.load(open(path, "rb"))
+
 
 def fast_sweep(metrics_cls):
     """Vectorized replacement for the 'val' branch of the reference's
@@ -237,6 +248,269 @@ def parse_final(log_text):
     return out
 
 
+def setup_joint_sandbox():
+    """Reduced ETHEC DB + synthetic fc7 features for the JOINT fc7 A/B:
+    2 train / 1 val / 1 test records per leaf (all 561 leaves; drawn from
+    the shipped val+test pool, merged-format epithets) and per-image
+    2048-d separable features (per-leaf gaussian cluster centers + noise,
+    the same protocol as the rebuild's joint quality runs) written as the
+    np.save dicts the reference loads (oe_h.py:2332-2339). Returns
+    (db_dir, emb_dir) so the rebuild side can consume the SAME data."""
+    import numpy as np
+
+    db_dir = os.path.join(AB_ROOT, "database", "ETHEC")
+    emb_dir = os.path.join(db_dir, "ETHEC_embeddings")
+    done = os.path.join(emb_dir, "test.npy")
+    if os.path.exists(done):
+        return db_dir, emb_dir
+    setup_sandbox()   # ensures the merged-format pool exists
+    os.makedirs(emb_dir, exist_ok=True)
+    with open(os.path.join(db_dir, "train.json")) as f:
+        pool = json.load(f)   # merged val+test, epithets already merged
+    by_leaf = {}
+    for tok in sorted(pool):
+        r = pool[tok]
+        by_leaf.setdefault(r["specific_epithet"], []).append(r)
+    def fkey(r):
+        # the dataset's image_filename rule (db.py:3857): image_path wins
+        # when it contains '.JPG'
+        return (r["image_path"] if ".JPG" in r["image_path"]
+                else r["image_name"])
+
+    splits = {"train": {}, "val": {}, "test": {}}
+    seen_keys = set()
+    for leaf in sorted(by_leaf):
+        rs = by_leaf[leaf]
+        picks = [rs[i % len(rs)] for i in range(4)]
+        for r, split in zip(picks, ("train", "train", "val", "test")):
+            tok = f"{r['token']}_{split}_{len(splits[split])}"
+            rec = dict(r, token=tok)
+            if fkey(rec) in seen_keys:
+                # a leaf with <4 records reuses images; give the copy a
+                # distinct filename so graph nodes / fc7 keys stay unique
+                if ".JPG" in rec["image_path"]:
+                    rec["image_path"] = f"{split}{tok}_" + rec["image_path"]
+                else:
+                    rec["image_name"] = f"{split}{tok}_" + rec["image_name"]
+            seen_keys.add(fkey(rec))
+            splits[split][tok] = rec
+    for split, recs in splits.items():
+        # upstream bug guard: calculate_classification_metrics slices
+        # images [ix : min(ix+10, len-1)] (oe_h.py:1995-2002) — a split
+        # with n % 10 == 1 images makes the last slice EMPTY and
+        # get_img_features(None).to() crashes; pad by one record
+        while len(recs) % 10 == 1:
+            tok0 = sorted(recs)[0]
+            r = dict(recs[tok0])
+            tok = f"{tok0}_pad{len(recs)}"
+            r["token"] = tok
+            if ".JPG" in r["image_path"]:
+                r["image_path"] = f"pad{len(recs)}_" + r["image_path"]
+            else:
+                r["image_name"] = f"pad{len(recs)}_" + r["image_name"]
+            recs[tok] = r
+    jdir = os.path.join(AB_ROOT, "database", "ETHEC_joint")
+    os.makedirs(jdir, exist_ok=True)
+    for split, recs in splits.items():
+        with open(os.path.join(jdir, f"{split}.json"), "w") as f:
+            json.dump(recs, f)
+    # swap the reduced splits into the path the driver reads, keeping the
+    # label-only DB for the other runs
+    for split in ("train", "val", "test"):
+        full = os.path.join(db_dir, f"{split}.json")
+        if not os.path.exists(full + ".labelonly"):
+            os.rename(full, full + ".labelonly")
+        with open(os.path.join(jdir, f"{split}.json")) as f:
+            blob = f.read()
+        with open(full, "w") as f:
+            f.write(blob)
+
+    # separable fc7 features, deterministic per image name
+    sys.path.insert(0, REF)
+    leaf_names = sorted(by_leaf)
+    leaf_ix = {n: i for i, n in enumerate(leaf_names)}
+    rng = np.random.RandomState(0)
+    mu = rng.randn(len(leaf_names), 2048).astype(np.float32)
+    for split, recs in splits.items():
+        d = {}
+        import zlib
+        for tok in sorted(recs):
+            r = recs[tok]
+            key = (r["image_path"] if ".JPG" in r["image_path"]
+                   else r["image_name"])
+            nrng = np.random.RandomState(zlib.crc32(key.encode()) % (2**31))
+            d[key] = (
+                mu[leaf_ix[r["specific_epithet"]]]
+                + 0.15 * nrng.randn(2048).astype(np.float32)).tolist()
+        np.save(os.path.join(emb_dir, f"{split}.npy"),
+                np.array(d, dtype=object), allow_pickle=True)
+    return db_dir, emb_dir
+
+
+def run_joint_fc7(n_epochs, lr=0.01):
+    """A/B the reference's JOINT fc7 trainer (oe_h.py JointEmbeddings,
+    hyperbolic cones, FeatNet on fc7, plain config: no curriculum, no
+    half_half, pick_per_level, dim 10, ratio 5, bs 10, adam lr=0.01)."""
+    import numpy as np
+
+    db_dir, emb_dir = setup_joint_sandbox()
+    setup_modules()
+    os.chdir(os.path.join(AB_ROOT, "run"))
+
+    # the reference loads its fc7 dicts with bare np.load (numpy<1.16
+    # semantics); modern numpy needs allow_pickle
+    import functools
+
+    np.load = functools.partial(np.load, allow_pickle=True)
+
+    import network.oe_h as mod
+
+    fast_sweep(mod.EmbeddingMetrics)
+
+    name = f"joint_fc7_ep{n_epochs}"
+    args = argparse.Namespace(
+        debug=False, lr=lr, alpha=0.05, batch_size=10,
+        load_G_from_disk=False, experiment_name=name,
+        experiment_dir=AB_ROOT + "/", load_emb_from=None,
+        load_cosine_emb=None, image_dir="/nonexistent-images",
+        n_epochs=n_epochs, n_workers=0, eval_interval=5,
+        embedding_dim=10, neg_to_pos_ratio=5, resume=False,
+        optimizer_method="adam", merged=True, model="alexnet",
+        loss="euc_cones_loss", use_CNN=False, pick_per_level=True,
+        freeze_weights=False, half_half=False, hide_levels=False,
+        set_mode="train", lr_step=[])
+
+    log_path = os.path.join(AB_ROOT, f"{name}.log")
+    t0 = time.time()
+    log_f = open(log_path, "w")
+    old_out, old_err = sys.stdout, sys.stderr
+    sys.stdout = Tee(old_out, log_f)
+    sys.stderr = Tee(old_err, log_f)
+    status = "ok"
+    try:
+        mod.order_embedding_labels_with_images_train_model(args)
+    except Exception as e:
+        import traceback
+
+        status = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+        print(f"== driver raised after/while training: {status}")
+    finally:
+        sys.stdout, sys.stderr = old_out, old_err
+        log_f.close()
+
+    with open(log_path) as f:
+        log_text = f.read()
+    results = parse_joint_final(log_text)
+    results.update(status=status, wall_s=round(time.time() - t0, 1),
+                   kind="joint_fc7", lr=lr, n_epochs=n_epochs)
+    res_path = os.path.join(AB_ROOT, "results.json")
+    blob = {}
+    if os.path.exists(res_path):
+        with open(res_path) as f:
+            blob = json.load(f)
+    blob[name] = results
+    with open(res_path, "w") as f:
+        json.dump(blob, f, indent=2)
+    print(f"== {name}: {results}")
+    return results
+
+
+def parse_joint_final(log_text):
+    """Headline numbers from the joint driver's stdout: per-phase
+    'm-F1: X Accuracy: Y' blocks (oe_h.py:2167-2168; the LAST test block
+    is the post-best-reload final pass), best val score, reconstruction."""
+    out = {}
+    m = re.findall(r"Best val score: ([0-9.]+)", log_text)
+    if m:
+        out["best_val_m_f1"] = float(m[-1])
+    blocks = re.findall(
+        r"=+ (\w+) - Classification metrics =+\s*\n"
+        r"m-F1: ([0-9.]+) Accuracy: ([0-9.]+)", log_text)
+    for phase, f1, acc in blocks:
+        out[f"last_{phase}_m_f1"] = float(f1)
+        out[f"last_{phase}_accuracy"] = float(acc)
+    m = re.findall(r"Reconstruction task: F1: ([0-9.]+),\s+"
+                   r"Accuracy: ([0-9.]+)", log_text)
+    if m:
+        out["reconstruction_f1"] = float(m[-1][0])
+        out["reconstruction_accuracy"] = float(m[-1][1])
+    return out
+
+
+def run_rebuild_joint_fc7(n_epochs, lr=0.01):
+    """The rebuild's fc7 joint trainer on the IDENTICAL sandbox data the
+    reference joint_fc7 run consumes (same reduced splits, same fc7
+    feature dicts, same hyperparameters) — the two-column joint A/B."""
+    import numpy as np
+
+    db_dir, emb_dir = setup_joint_sandbox()
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, REPO)
+
+    from learning_embeddings_tpu.hierarchy import labelmap_from_records
+    from learning_embeddings_tpu.losses.joint_sampling import (
+        build_joint_graph)
+    from learning_embeddings_tpu.train.joint import JointTrainerConfig
+    from learning_embeddings_tpu.train.runner import run_joint_embedding
+
+    jdir = os.path.join(AB_ROOT, "database", "ETHEC_joint")
+    splits, feats = {}, {}
+    for split in ("train", "val", "test"):
+        with open(os.path.join(jdir, f"{split}.json")) as f:
+            recs = list(json.load(f).values())
+        for r in recs:
+            # the sandbox stores the MERGED epithet the reference labelmap
+            # expects; the rebuild's record loader merges itself
+            if r["specific_epithet"].startswith(r["genus"] + "_"):
+                r["specific_epithet"] = r["specific_epithet"][
+                    len(r["genus"]) + 1:]
+        splits[split] = recs
+        d = np.load(os.path.join(emb_dir, f"{split}.npy"),
+                    allow_pickle=True)[()]
+        feats[split] = np.asarray(
+            [d[(r["image_path"] if ".JPG" in r["image_path"]
+                else r["image_name"])] for r in recs], np.float32)
+
+    lm = labelmap_from_records(
+        [r for rs in splits.values() for r in rs])
+    assert lm.n_classes == 723, lm.levels
+
+    def level_labels(recs):
+        from learning_embeddings_tpu.data import encode_records
+
+        return encode_records(recs, lm).level_labels
+
+    ll = {s: level_labels(rs) for s, rs in splits.items()}
+    graph, train_edges = build_joint_graph(lm, ll["train"])
+    cfg = JointTrainerConfig(
+        energy="hyp_cone", embedding_dim=10, feature_dim=2048,
+        lr_labels=lr, lr_images=1e-3, batch_size=10, neg_to_pos_ratio=5,
+        alpha=0.05, optimizer_labels="adam", pick_per_level=True, seed=0)
+    name = f"rebuild_joint_fc7_ep{n_epochs}"
+    t0 = time.time()
+    res = run_joint_embedding(
+        lm, graph, train_edges, feats["train"], cfg,
+        experiment_dir=AB_ROOT, experiment_name=name,
+        n_epochs=n_epochs, eval_interval=5,
+        eval_features={s: feats[s] for s in ("val", "test")},
+        eval_paths={s: ll[s] + np.asarray(lm.level_start)[None, :]
+                    for s in ("val", "test")},
+        manifest_args={"ab": "joint_fc7"})
+    flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+    flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
+    flat.update(wall_s=round(time.time() - t0, 1), kind="rebuild_joint_fc7",
+                lr=lr, n_epochs=n_epochs)
+    res_path = os.path.join(AB_ROOT, "results.json")
+    blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
+    blob[name] = flat
+    with open(res_path, "w") as f:
+        json.dump(blob, f, indent=2)
+    print(f"== {name}: {flat}")
+    return flat
+
+
 def run_one(kind, n_epochs, lr=None):
     """kind: order | euc_cones (order_embeddings.py, adam)
              hyp_cones (order_embeddings_h.py, manual RSGD update)."""
@@ -313,6 +587,12 @@ if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     lr = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    if kind == "joint_fc7":
+        run_joint_fc7(n_epochs, lr if lr is not None else 0.01)
+        sys.exit(0)
+    if kind == "rebuild_joint_fc7":
+        run_rebuild_joint_fc7(n_epochs, lr if lr is not None else 0.01)
+        sys.exit(0)
     if kind == "all":
         # separate processes: the reference modules seed global RNGs and
         # cache module state at import
