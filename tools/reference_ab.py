@@ -367,7 +367,7 @@ def run_joint_fc7(n_epochs, lr=0.01):
 
     fast_sweep(mod.EmbeddingMetrics)
 
-    name = f"joint_fc7_ep{n_epochs}"
+    name = f"joint_fc7_ep{n_epochs}_lr{lr}"
     args = argparse.Namespace(
         debug=False, lr=lr, alpha=0.05, batch_size=10,
         load_G_from_disk=False, experiment_name=name,
@@ -488,7 +488,7 @@ def run_rebuild_joint_fc7(n_epochs, lr=0.01):
         energy="hyp_cone", embedding_dim=10, feature_dim=2048,
         lr_labels=lr, lr_images=1e-3, batch_size=10, neg_to_pos_ratio=5,
         alpha=0.05, optimizer_labels="adam", pick_per_level=True, seed=0)
-    name = f"rebuild_joint_fc7_ep{n_epochs}"
+    name = f"rebuild_joint_fc7_ep{n_epochs}_lr{lr}"
     t0 = time.time()
     res = run_joint_embedding(
         lm, graph, train_edges, feats["train"], cfg,
