@@ -511,6 +511,262 @@ def run_rebuild_joint_fc7(n_epochs, lr=0.01):
     return flat
 
 
+# --------------------------------------------------------------- use_CNN A/B
+# the 12 species of the reference's own debug taxonomy
+# (ETHECLabelMapMergedSmall, db.py:3661-3747): 5/6/9/12 = 32 nodes
+SMALL_SPECIES = [
+    "Ochlodes_venata", "Hesperia_comma", "Pyrgus_alveus",
+    "Spialia_sertorius", "Hamearis_lucina", "Polycaena_tamerlana",
+    "Agriades_lehanus", "Parnassius_jacquemonti", "Aporia_crataegi",
+    "Aporia_procris", "Aporia_potanini", "Aporia_nabellica"]
+CNN_PER_LEAF = (4, 2, 2)   # train/val/test records per species
+
+
+def setup_cnn_sandbox():
+    """Debug-taxonomy DB + REAL separable JPEGs for the `--use_CNN` pixel
+    A/B: 4/2/2 records per species over the reference's own 12-species
+    debug labelmap, one grayscale 8x8 pattern per species upsampled to
+    64px + per-image noise, written as baseline JPEGs at the exact path
+    BOTH sides resolve — the reference's imageless-joint rule
+    `join(image_dir, image_path, image_path)` (db.py:3850-3854 with
+    image_folder == image_path) and the rebuild's
+    `join(image_dir, image_path, image_name)` (records.py:52) coincide
+    when image_path == image_name. Channels are equal (R=G=B) so cv2's
+    BGR read and PIL's RGB read return byte-identical tensors.
+
+    Returns (jdir_merged, jdir_raw, img_dir): merged-epithet jsons for the
+    reference (ETHECLabelMapMerged keying), raw-epithet jsons for the
+    rebuild CLI (its loader merges genus+epithet itself), one image root.
+    """
+    import numpy as np
+    from PIL import Image
+
+    jdir_m = os.path.join(AB_ROOT, "database", "ETHEC_cnn")
+    jdir_r = os.path.join(AB_ROOT, "database", "ETHEC_cnn_rebuild")
+    img_dir = os.path.join(AB_ROOT, "images_cnn")
+    emb_dir = os.path.join(AB_ROOT, "database", "ETHEC",
+                           "ETHECSmall_embeddings")
+    if os.path.exists(os.path.join(emb_dir, "test.npy")):
+        return jdir_m, jdir_r, img_dir
+    setup_sandbox()
+    for d in (jdir_m, jdir_r, img_dir, emb_dir):
+        os.makedirs(d, exist_ok=True)
+
+    with open(os.path.join(AB_ROOT, "database", "ETHEC",
+                           "train.json.labelonly")
+              if os.path.exists(os.path.join(
+                  AB_ROOT, "database", "ETHEC", "train.json.labelonly"))
+              else os.path.join(AB_ROOT, "database", "ETHEC",
+                                "train.json")) as f:
+        pool = json.load(f)   # merged-epithet val+test pool
+    by_leaf = {s: [] for s in SMALL_SPECIES}
+    for tok in sorted(pool):
+        r = pool[tok]
+        if r["specific_epithet"] in by_leaf:
+            by_leaf[r["specific_epithet"]].append(r)
+
+    n_tr, n_va, n_te = CNN_PER_LEAF
+    splits_m = {"train": {}, "val": {}, "test": {}}
+    rng = np.random.RandomState(7)
+    for li, leaf in enumerate(SMALL_SPECIES):
+        rs = by_leaf[leaf]
+        assert rs, f"no records for debug species {leaf}"
+        pat8 = rng.randint(0, 256, (8, 8))
+        picks = [(rs[i % len(rs)], split)
+                 for i, split in enumerate(
+                     ["train"] * n_tr + ["val"] * n_va + ["test"] * n_te)]
+        for i, (r, split) in enumerate(picks):
+            name = f"ab_cnn_{li:02d}_{i}_{split}.JPG"
+            rec = dict(r, token=f"{leaf}_{split}_{i}",
+                       image_path=name, image_name=name)
+            splits_m[split][rec["token"]] = rec
+            # the image: per-species pattern + per-image noise, R=G=B
+            irng = np.random.RandomState(100003 * li + 17 * i + 1)
+            up = np.kron(pat8, np.ones((8, 8), np.int64))
+            img = np.clip(up + irng.randint(-25, 26, up.shape),
+                          0, 255).astype(np.uint8)
+            os.makedirs(os.path.join(img_dir, name), exist_ok=True)
+            Image.fromarray(np.stack([img] * 3, axis=-1)).save(
+                os.path.join(img_dir, name, name), quality=95)
+
+    for split, recs in splits_m.items():
+        with open(os.path.join(jdir_m, f"{split}.json"), "w") as f:
+            json.dump(recs, f)
+        raw = {}
+        for tok, r in recs.items():
+            rr = dict(r)
+            if rr["specific_epithet"].startswith(rr["genus"] + "_"):
+                rr["specific_epithet"] = rr["specific_epithet"][
+                    len(rr["genus"]) + 1:]
+            raw[tok] = rr
+        with open(os.path.join(jdir_r, f"{split}.json"), "w") as f:
+            json.dump(raw, f)
+        # the debug driver np.loads fc7 dicts unconditionally even with
+        # --use_CNN (oe_h.py:2334-2337); give it valid (unused) features
+        d = {r["image_path"]: np.zeros(2048, np.float32).tolist()
+             for r in recs.values()}
+        np.save(os.path.join(emb_dir, f"{split}.npy"),
+                np.array(d, dtype=object), allow_pickle=True)
+    return jdir_m, jdir_r, img_dir
+
+
+def _install_cnn_db():
+    """Point ../database/ETHEC/{split}.json (the path the debug driver
+    hard-codes) at the CNN sandbox jsons; returns a restore() handle."""
+    db_dir = os.path.join(AB_ROOT, "database", "ETHEC")
+    jdir_m = os.path.join(AB_ROOT, "database", "ETHEC_cnn")
+    saved = {}
+    for split in ("train", "val", "test"):
+        full = os.path.join(db_dir, f"{split}.json")
+        if os.path.exists(full):
+            with open(full) as f:
+                saved[split] = f.read()
+        with open(os.path.join(jdir_m, f"{split}.json")) as f:
+            blob = f.read()
+        with open(full, "w") as f:
+            f.write(blob)
+
+    def restore():
+        for split, blob in saved.items():
+            with open(os.path.join(db_dir, f"{split}.json"), "w") as f:
+                f.write(blob)
+
+    return restore
+
+
+def run_joint_cnn_ref(n_epochs, lr=0.01):
+    """A/B the reference's `--use_CNN --debug` joint trainer: the REAL
+    oe_h JointEmbeddings with FeatCNN18 (resnet18 tower on pixels,
+    oe_h.py:281-328, 1403-1405), hyperbolic cones, adam, on the
+    12-species debug taxonomy with real JPEGs.
+
+    Harness shims beyond the fc7 run's (documented, semantics-neutral):
+      * torchvision transforms + resnet18 are real implementations in the
+        stub (torchvision isn't installed; both sides start from random
+        init — no pretrained weights offline).
+      * ETHECSmall's token filter predates the merged DB format: it tests
+        `f"{genus}_{specific_epithet}"` (db.py:3653-3658), which on
+        merged records gives 'Genus_Genus_epithet' and matches nothing —
+        the debug DB the driver loads IS merged (oe_h.py:2318-2321).
+        The shim filters by the merged epithet directly.
+    Known upstream artifact carried through on purpose: the eval loop's
+    `min(ix+bs, len-1)` clamp never embeds the LAST image and LAST label
+    of each split (oe_h.py:1996-2017) — negligible at full scale (1/723),
+    ~4% of a 24-image debug split; noted next to the numbers."""
+    import numpy as np
+
+    setup_cnn_sandbox()
+    setup_modules()
+    os.chdir(os.path.join(AB_ROOT, "run"))
+
+    import functools
+
+    np.load = functools.partial(np.load, allow_pickle=True)
+
+    import data.db as dbmod
+
+    def _small_init(self, path_to_json, single_level=False):
+        lmap = dbmod.ETHECLabelMapMergedSmall(single_level)
+        self.path_to_json = path_to_json
+        with open(path_to_json) as json_file:
+            self.data_dict = json.load(json_file)
+        self.data_tokens = [
+            tok for tok in self.data_dict
+            if self.data_dict[tok]["specific_epithet"]
+            in lmap.genus_specific_epithet]
+
+    dbmod.ETHECSmall.__init__ = _small_init
+
+    import network.oe_h as mod
+
+    fast_sweep(mod.EmbeddingMetrics)
+
+    name = f"joint_cnn_ep{n_epochs}_lr{lr}"
+    args = argparse.Namespace(
+        debug=True, lr=lr, alpha=0.05, batch_size=10,
+        load_G_from_disk=False, experiment_name=name,
+        experiment_dir=AB_ROOT + "/", load_emb_from=None,
+        load_cosine_emb=None,
+        image_dir=os.path.join(AB_ROOT, "images_cnn"),
+        n_epochs=n_epochs, n_workers=0, eval_interval=5,
+        embedding_dim=10, neg_to_pos_ratio=5, resume=False,
+        optimizer_method="adam", merged=True, model="resnet18",
+        loss="euc_cones_loss", use_CNN=True, pick_per_level=True,
+        freeze_weights=False, half_half=False, hide_levels=False,
+        set_mode="train", lr_step=[])
+
+    restore = _install_cnn_db()
+    log_path = os.path.join(AB_ROOT, f"{name}.log")
+    t0 = time.time()
+    log_f = open(log_path, "w")
+    old_out, old_err = sys.stdout, sys.stderr
+    sys.stdout = Tee(old_out, log_f)
+    sys.stderr = Tee(old_err, log_f)
+    status = "ok"
+    try:
+        mod.order_embedding_labels_with_images_train_model(args)
+    except Exception as e:
+        import traceback
+
+        status = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+        print(f"== driver raised after/while training: {status}")
+    finally:
+        sys.stdout, sys.stderr = old_out, old_err
+        log_f.close()
+        restore()
+
+    with open(log_path) as f:
+        results = parse_joint_final(f.read())
+    results.update(status=status, wall_s=round(time.time() - t0, 1),
+                   kind="joint_cnn", lr=lr, n_epochs=n_epochs)
+    res_path = os.path.join(AB_ROOT, "results.json")
+    blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
+    blob[name] = results
+    with open(res_path, "w") as f:
+        json.dump(blob, f, indent=2)
+    print(f"== {name}: {results}")
+    return results
+
+
+def run_rebuild_joint_cnn(n_epochs, lr=0.01):
+    """The rebuild's `--use_CNN` CLI (cli/oe_h.py, resnet18@224 tower) on
+    the IDENTICAL sandbox: same 12-species debug splits, the same JPEG
+    files, matched hyperparameters (bs 10, ratio 5, dim 10, alpha 0.05,
+    adam; lr_images fixed at 1e-3 like the reference's hard-coded
+    JointEmbeddings.lr_images, oe_h.py:1361)."""
+    jdir_m, jdir_r, img_dir = setup_cnn_sandbox()
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, REPO)
+
+    from learning_embeddings_tpu.cli.oe_h import main as oe_h_main
+
+    name = f"rebuild_joint_cnn_ep{n_epochs}_lr{lr}"
+    t0 = time.time()
+    res = oe_h_main([
+        "--data_dir", jdir_r, "--image_dir", img_dir, "--debug",
+        "--use_CNN", "--model", "resnet18", "--image_size", "224",
+        "--loss", "euc_cones_loss", "--pick_per_level",
+        "--batch_size", "10", "--neg_to_pos_ratio", "5",
+        "--embedding_dim", "10", "--alpha", "0.05",
+        "--lr", str(lr), "--lr_images", "0.001",
+        "--n_epochs", str(n_epochs), "--eval_interval", "5",
+        "--experiment_dir", AB_ROOT, "--experiment_name", name,
+        "--set_mode", "train", "--merged"])
+    flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+    flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
+    flat.update(wall_s=round(time.time() - t0, 1),
+                kind="rebuild_joint_cnn", lr=lr, n_epochs=n_epochs)
+    res_path = os.path.join(AB_ROOT, "results.json")
+    blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
+    blob[name] = flat
+    with open(res_path, "w") as f:
+        json.dump(blob, f, indent=2)
+    print(f"== {name}: {flat}")
+    return flat
+
+
 def run_one(kind, n_epochs, lr=None):
     """kind: order | euc_cones (order_embeddings.py, adam)
              hyp_cones (order_embeddings_h.py, manual RSGD update)."""
@@ -592,6 +848,12 @@ if __name__ == "__main__":
         sys.exit(0)
     if kind == "rebuild_joint_fc7":
         run_rebuild_joint_fc7(n_epochs, lr if lr is not None else 0.01)
+        sys.exit(0)
+    if kind == "joint_cnn":
+        run_joint_cnn_ref(n_epochs, lr if lr is not None else 0.01)
+        sys.exit(0)
+    if kind == "rebuild_joint_cnn":
+        run_rebuild_joint_cnn(n_epochs, lr if lr is not None else 0.01)
         sys.exit(0)
     if kind == "all":
         # separate processes: the reference modules seed global RNGs and
