@@ -95,6 +95,10 @@ class ClassifierConfig:
     #   (GSPMD spatial partitioning: XLA inserts conv halo exchanges) — lets
     #   resolutions/batches exceed one chip's activation memory; something
     #   the reference's DataParallel cannot express at all
+    donate: bool = True  # donate the input TrainState to the jitted step so
+    #   XLA updates params/opt-state in place (halves the state's HBM
+    #   footprint across each step). Callers must treat the passed-in state
+    #   as consumed; set False for tests that re-step from one state object.
 
 
 def make_criterion(labelmap: LabelMap, cfg: ClassifierConfig):
@@ -261,14 +265,15 @@ class ClassifierTrainer:
                                  batch_stats=new_stats,
                                  opt_state=opt_state), loss
 
+        donate = dict(donate_argnums=0) if self.cfg.donate else {}
         if self.mesh is not None:
             bs = self._batch_sharding
             ss = self._state_shardings
             rep = replicated(self.mesh)
             return jax.jit(step,
                            in_shardings=(ss, self._image_sharding, bs, bs),
-                           out_shardings=(ss, rep))
-        return jax.jit(step)
+                           out_shardings=(ss, rep), **donate)
+        return jax.jit(step, **donate)
 
     def _build_eval_step(self):
         model, criterion = self.model, self.criterion

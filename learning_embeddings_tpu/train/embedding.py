@@ -77,6 +77,8 @@ class EmbeddingTrainerConfig:
     lr_steps: Tuple[int, ...] = ()   # epochs where lr ×= lr_decay
     lr_decay: float = 0.1
     steps_per_epoch: int = 0         # set by the trainer for the schedule
+    donate: bool = True  # donate params/opt-state to the jitted epoch
+    #   (in-place update); train_epoch always replaces its refs
 
 
 class EmbeddingTrainer:
@@ -208,6 +210,7 @@ class EmbeddingTrainer:
                 step, (params, opt_state, key), (pos_from_b, pos_to_b))
             return params, opt_state, key, losses, e_pos, e_neg
 
+        donate = dict(donate_argnums=(0, 1)) if self.cfg.donate else {}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -217,8 +220,8 @@ class EmbeddingTrainer:
                 jax.tree_util.tree_map(lambda _: rep, self.params),
                 jax.tree_util.tree_map(lambda _: rep, self.opt_state,
                                        is_leaf=lambda x: hasattr(x, "shape")),
-                rep, bsh, bsh))
-        return jax.jit(epoch)
+                rep, bsh, bsh), **donate)
+        return jax.jit(epoch, **donate)
 
     # ------------------------------------------------------------------
     def _batched_train_edges(self, rng: np.random.RandomState):

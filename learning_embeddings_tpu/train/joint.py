@@ -186,6 +186,8 @@ class JointTrainerConfig:
     #: 'nll'     — softmax(−d²) NLL (SimpleEuclideanEmbLoss,
     #:             order_embeddings.py:1108-1202; euclidean energies only)
     loss_variant: str = "margin"
+    donate: bool = True  # donate params/opt-state to the jitted epoch
+    #   (in-place update); train_epoch always replaces its refs
 
 
 class JointEmbeddingTrainer:
@@ -341,6 +343,7 @@ class JointEmbeddingTrainer:
                 step, (params, opt_state, key), (pf, pt))
             return params, opt_state, losses, e_pos, e_neg
 
+        donate = dict(donate_argnums=(0, 1)) if self.cfg.donate else {}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -352,8 +355,8 @@ class JointEmbeddingTrainer:
                               jax.tree_util.tree_map(
                                   lambda _: rep, self.opt_state,
                                   is_leaf=lambda x: hasattr(x, "shape")),
-                              rep, bsh, bsh))
-        return jax.jit(epoch)
+                              rep, bsh, bsh), **donate)
+        return jax.jit(epoch, **donate)
 
     # ------------------------------------------------------------------
     def _epoch_order(self, edges: np.ndarray, rng: np.random.RandomState):

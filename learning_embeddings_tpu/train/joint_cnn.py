@@ -84,6 +84,10 @@ class JointCNNConfig:
     #   image tower — only the final projection ('fc') trains; the trunk
     #   is frozen (the reference stores feature_extracting on the joint
     #   trainer, oe_h.py:1348/2374; classifier semantics finetuner.py:138)
+    donate: bool = True  # donate params/stats/opt-state to the jitted step
+    #   (in-place update, halves the state's HBM footprint across a step);
+    #   train_prepared always replaces its state refs, so only external
+    #   holders of self.params/opt_state (tests) need donate=False
 
 
 class JointCNNTrainer:
@@ -220,8 +224,9 @@ class JointCNNTrainer:
                               labels=project_annulus_tree(params["labels"], K))
             return params, new_stats, opt_state, loss, e_pos, e_neg
 
+        donate = dict(donate_argnums=(0, 1, 2)) if self.cfg.donate else {}
         if self.mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, **donate)
 
         # GSPMD: tower batch + edge slots over 'data'; params/stats/opt
         # replicated — XLA all-reduces the grads and the BN statistics
@@ -239,7 +244,7 @@ class JointCNNTrainer:
         return jax.jit(step, in_shardings=(
             rep_tree(self.params), rep_tree(self.batch_stats),
             rep_tree(self.opt_state, is_leaf=lambda x: hasattr(x, "shape")),
-            pix_sh, dat, dat, dat, dat, dat, dat, dat, dat))
+            pix_sh, dat, dat, dat, dat, dat, dat, dat, dat), **donate)
 
     # ------------------------------------------------------------------
     def load_embedding_table(self, table: np.ndarray) -> None:

@@ -107,8 +107,10 @@ def test_graft_entry_forward_traces():
 def test_uint8_input_matches_float32_exactly(lm):
     """uint8 batches (low-bandwidth transfer format) scale on device:
     u8/255 there is bit-identical to host-side astype(f32)/255."""
+    # donate=False: this test deliberately re-steps from one state object
     cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
-                           lr=1e-3, image_size=32, batch_size=4)
+                           lr=1e-3, image_size=32, batch_size=4,
+                           donate=False)
     tr = ClassifierTrainer(lm, cfg, mesh=None)
     _, ll, mh = make_batch(lm, B=4)
     u8 = RNG.randint(0, 256, (4, 32, 32, 3), np.uint8)
@@ -127,7 +129,8 @@ def test_uint8_input_on_mesh_matches_f32(lm):
     matches the f32-fed sharded step exactly."""
     mesh = make_mesh(n_data=4, n_model=2)
     cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
-                           lr=1e-3, image_size=32, batch_size=8)
+                           lr=1e-3, image_size=32, batch_size=8,
+                           donate=False)   # re-steps from one state object
     tr = ClassifierTrainer(lm, cfg, mesh=mesh)
     _, ll, mh = make_batch(lm, B=8)
     u8 = RNG.randint(0, 256, (8, 32, 32, 3), np.uint8)
@@ -150,9 +153,10 @@ def test_grad_accum_equals_full_batch_step(lm):
     s1, _ = tr1.train_step(tr1.state, *b1)
 
     b2 = tr2.put_batch(imgs, ll, mh)
-    s2, _ = tr2.train_step(tr2.state, *b2)   # micro-step: accumulate only
-    mid = jax.tree_util.tree_map(np.asarray, s2.params)
     init = jax.tree_util.tree_map(np.asarray, tr2.state.params)
+    s2, _ = tr2.train_step(tr2.state, *b2)   # micro-step: accumulate only
+    #   (snapshot init first — the donated input state is consumed)
+    mid = jax.tree_util.tree_map(np.asarray, s2.params)
     assert all(np.array_equal(a, b) for a, b in zip(
         jax.tree_util.tree_leaves(mid), jax.tree_util.tree_leaves(init)))
     s2, _ = tr2.train_step(s2, *b2)          # second micro-step: apply
@@ -204,12 +208,12 @@ def test_freeze_bn_step_keeps_stats_and_learns(lm):
                            freeze_bn=True)
     tr = ClassifierTrainer(lm, cfg)
     batch = tr.put_batch(*make_batch(lm))
-    s0 = tr.state
-    s1, l0 = tr.train_step(s0, *batch)
+    stats0 = jax.tree_util.tree_map(np.asarray, tr.state.batch_stats)
+    s1, l0 = tr.train_step(tr.state, *batch)
     s2, l1 = tr.train_step(s1, *batch)
     assert np.isfinite(float(l0)) and float(l1) < float(l0)
     # running stats untouched
-    for a, b in zip(jax.tree_util.tree_leaves(s0.batch_stats),
+    for a, b in zip(jax.tree_util.tree_leaves(stats0),
                     jax.tree_util.tree_leaves(s2.batch_stats)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -242,13 +246,14 @@ def test_ghost_bn_subsampled_stats_train_step(lm):
                            bn_stats_rows=4)
     tr = ClassifierTrainer(lm, cfg)
     batch = tr.put_batch(*make_batch(lm))
+    stats0 = jax.tree_util.tree_map(np.asarray, tr.state.batch_stats)
     s1, l0 = tr.train_step(tr.state, *batch)
     s2, l1 = tr.train_step(s1, *batch)
     assert np.isfinite(float(l0)) and float(l1) < float(l0)
     # running stats DID update (unlike freeze_bn)
     changed = any(
         not np.allclose(np.asarray(a), np.asarray(b))
-        for a, b in zip(jax.tree_util.tree_leaves(tr.state.batch_stats),
+        for a, b in zip(jax.tree_util.tree_leaves(stats0),
                         jax.tree_util.tree_leaves(s2.batch_stats)))
     assert changed
 
@@ -307,3 +312,19 @@ def test_spatial_partitioning_matches_unsharded(lm):
 def dataclasses_replace_spatial(cfg):
     import dataclasses
     return dataclasses.replace(cfg, spatial_partition=False)
+
+
+def test_train_step_donates_state(lm):
+    """The jitted step donates its input TrainState (in-place param/opt
+    update — halves the state's HBM footprint across a step): the passed-in
+    state's buffers are consumed and must not be readable afterwards."""
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=4)
+    tr = ClassifierTrainer(lm, cfg, mesh=None)
+    batch = tr.put_batch(*make_batch(lm, B=4))
+    old = tr.state
+    tr.state, loss = tr.train_step(tr.state, *batch)
+    assert np.isfinite(float(loss))
+    leaf = jax.tree_util.tree_leaves(old.params)[0]
+    with pytest.raises(RuntimeError):
+        np.asarray(leaf)
