@@ -232,17 +232,18 @@ class ImagePipeline:
         def producer():
             try:
                 _produce()
-                out_q.put(None)
+                payload = None            # end-of-epoch sentinel
             except BaseException as exc:
-                # deliver the error to the consumer instead of hanging it on
-                # an out_q.get() that would never be fed (non-blocking retry:
-                # the consumer may have gone away with the queue full)
-                while not stop.is_set():
-                    try:
-                        out_q.put(exc, timeout=0.1)
-                        break
-                    except queue.Full:
-                        pass
+                payload = exc             # delivered instead of hanging the
+                #                           consumer on a never-fed get()
+            # stop-aware delivery for sentinel AND error alike: the consumer
+            # may have abandoned the generator with the queue still full
+            while not stop.is_set():
+                try:
+                    out_q.put(payload, timeout=0.1)
+                    break
+                except queue.Full:
+                    pass
 
         def _produce():
             with cf.ThreadPoolExecutor(self.num_workers) as pool:

@@ -293,11 +293,12 @@ def make_joint_negative_sampler(
         j = j + jnp.where(j >= start, cnt, 0)
         return img_order_by_level[lvl, jnp.minimum(j, ni - 1)]
 
-    def _sample_side(key, anchors, anchor_other, corrupt_to: bool):
-        """(B, R) corrupted node ids for one side."""
+    def _sample_side(key, anchors, corrupt_to: bool):
+        """(B, R) corrupted node ids for one side. Image-pass eligibility
+        follows the ANCHOR's type only (the kept endpoint), never the
+        discarded one — oe.py:563-647 type(u/v)==str tests."""
         B = anchors.shape[0]
         keys = jax.random.split(key, R)
-        edge_has_image = (anchors >= nl) | (anchor_other >= nl)
         cols = []
         for r in range(R):
             lvl = None if pass_levels is None else int(pass_levels[r])
@@ -345,8 +346,8 @@ def make_joint_negative_sampler(
     def sample(key, pos_from, pos_to):
         B = pos_from.shape[0]
         k1, k2 = jax.random.split(key)
-        corrupted_to = _sample_side(k1, pos_from, pos_to, corrupt_to=True)
-        corrupted_from = _sample_side(k2, pos_to, pos_from, corrupt_to=False)
+        corrupted_to = _sample_side(k1, pos_from, corrupt_to=True)
+        corrupted_from = _sample_side(k2, pos_to, corrupt_to=False)
         nf = jnp.concatenate(
             [jnp.broadcast_to(pos_from[:, None], (B, R)), corrupted_from], 1)
         nt = jnp.concatenate(

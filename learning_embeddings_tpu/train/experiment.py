@@ -114,7 +114,17 @@ class Checkpointer:
         self._ckpt.wait_until_finished()
 
     def load(self, name, like: Dict[str, Any]) -> Dict[str, Any]:
-        return self._ckpt.restore(self._path(name), like)
+        try:
+            return self._ckpt.restore(self._path(name), like)
+        except ValueError:
+            # top-level key drift between the template and the saved tree
+            # (payloads gain bookkeeping keys over time — e.g. best_score /
+            # best_f1 / best_epoch — while eval/inference/export callers
+            # template only the subtrees they use, and older checkpoints
+            # predate new keys): raw-restore and project onto the template,
+            # defaulting keys the checkpoint doesn't have to the template's
+            raw = self.load_raw(name)
+            return {k: raw.get(k, like[k]) for k in like}
 
     def load_raw(self, name) -> Dict[str, Any]:
         """Restore without a target template (numpy leaves) — for reading

@@ -50,6 +50,7 @@ def _eval_pass(trainer, pipe, order):
     bs = trainer.cfg.batch_size
     scores, labels, multihots = [], [], []
     loss_sum, loss_rows = 0.0, 0
+    pad_loss_sum, pad_loss_rows = 0.0, 0
     for batch in pipe.batches(order):
         n = len(batch["image"])
         padded = trainer.mesh is not None and n < bs
@@ -69,6 +70,13 @@ def _eval_pass(trainer, pipe, order):
             # full batches only (scores/labels are sliced either way)
             loss_sum += float(loss) * n
             loss_rows += n
+        else:
+            pad_loss_sum += float(loss) * n
+            pad_loss_rows += n
+    if loss_rows == 0:
+        # every batch was a padded tail (split < batch_size on a mesh):
+        # report the pad-biased mean rather than a silent 0.0 loss
+        loss_sum, loss_rows = pad_loss_sum, pad_loss_rows
     return (np.concatenate(scores), np.concatenate(labels),
             np.concatenate(multihots), loss_sum, max(loss_rows, 1))
 
@@ -189,17 +197,32 @@ def run_classifier(
 
     start_epoch = 0
     thresholds = None
+    best_score, best_epoch = -1.0, -1
+
+    # checkpoints carry the loop's best-model bookkeeping alongside the
+    # state so --resume keeps competing against the ORIGINAL best val
+    # score instead of overwriting best_model with the first post-resume
+    # eval (same contract as the joint runner)
+    def _payload():
+        return {"params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+                "opt_state": trainer.state.opt_state,
+                "best_score": float(best_score),
+                "best_epoch": float(best_epoch)}
+
     like = {"params": trainer.state.params,
             "batch_stats": trainer.state.batch_stats,
-            "opt_state": trainer.state.opt_state}
+            "opt_state": trainer.state.opt_state,
+            "best_score": -1.0, "best_epoch": -1.0}
     if resume:
         latest = ckpt.find_existing_weights()
         if latest is not None:
             payload = ckpt.load(latest, like)
+            best_score = float(payload.pop("best_score"))
+            best_epoch = int(payload.pop("best_epoch"))
             trainer.state = trainer.state.replace(**payload)
             start_epoch = latest + 1
 
-    best_score, best_epoch = -1.0, -1
     rng = np.random.RandomState(cfg.seed)
 
     if profile_steps and set_mode == "train":
@@ -267,16 +290,10 @@ def run_classifier(
                 evaluate("test", epoch, "test")
                 if val_score > best_score:
                     best_score, best_epoch = val_score, epoch
-                    ckpt.save("best_model", {
-                        "params": trainer.state.params,
-                        "batch_stats": trainer.state.batch_stats,
-                        "opt_state": trainer.state.opt_state}, wait=False)
+                    ckpt.save("best_model", _payload(), wait=False)
             # async epoch checkpoint: the write overlaps the next epoch
             # (orbax snapshots the arrays before returning)
-            ckpt.save(epoch, {"params": trainer.state.params,
-                              "batch_stats": trainer.state.batch_stats,
-                              "opt_state": trainer.state.opt_state},
-                      wait=False)
+            ckpt.save(epoch, _payload(), wait=False)
             logger.scalar("epoch_time", time.time() - t0, epoch)
 
     # load best + final test with score dumps (experiment.py:217-224,
@@ -289,6 +306,8 @@ def run_classifier(
         # tolerate a genuinely-absent best_model (no eval interval hit)
         try:
             payload = ckpt.load("best_model", like)
+            payload.pop("best_score")
+            payload.pop("best_epoch")
             trainer.state = trainer.state.replace(**payload)
         except FileNotFoundError:
             if set_mode != "train":
@@ -367,22 +386,39 @@ def run_label_embedding(
         trainer.load_embedding_table(init_embeddings)
 
     start_epoch = 0
+    best_f1, best_epoch = -1.0, -1
+
     # NaN = "no calibrated threshold yet": 0.0 is a legitimate calibrated
-    # value for cone energies (positives can sit exactly at 0 energy)
+    # value for cone energies (positives can sit exactly at 0 energy).
+    # best_f1/best_epoch ride in every checkpoint so --resume keeps
+    # competing against the ORIGINAL best instead of overwriting
+    # best_model with the first post-resume eval (joint-runner contract).
+    def _payload():
+        return {"params": trainer.params, "opt_state": trainer.opt_state,
+                "optimal_threshold": (
+                    float("nan") if trainer.optimal_threshold is None
+                    else trainer.optimal_threshold),
+                "best_f1": float(best_f1), "best_epoch": float(best_epoch)}
+
     like = {"params": trainer.params, "opt_state": trainer.opt_state,
-            "optimal_threshold": float("nan")}
+            "optimal_threshold": float("nan"),
+            "best_f1": -1.0, "best_epoch": -1.0}
+
+    def _restore(payload):
+        best = float(payload.pop("best_f1")), int(payload.pop("best_epoch"))
+        trainer.params = payload["params"]
+        trainer.opt_state = payload["opt_state"]
+        thr = float(payload["optimal_threshold"])
+        trainer.optimal_threshold = None if np.isnan(thr) else thr
+        return best
+
     if resume:
         latest = ckpt.find_existing_weights()
         if latest is not None:
-            payload = ckpt.load(latest, like)
-            trainer.params = payload["params"]
-            trainer.opt_state = payload["opt_state"]
-            thr = float(payload["optimal_threshold"])
-            trainer.optimal_threshold = None if np.isnan(thr) else thr
+            best_f1, best_epoch = _restore(ckpt.load(latest, like))
             start_epoch = latest + 1
 
     viz_every = (5 if config.embedding_dim == 2 else 0)
-    best_f1, best_epoch = -1.0, -1
     rng = np.random.RandomState(config.seed)
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
@@ -405,22 +441,13 @@ def run_label_embedding(
                                    "accuracy": float(val.accuracy)}, epoch)
             if float(val.f1) > best_f1:
                 best_f1, best_epoch = float(val.f1), epoch
-                ckpt.save("best_model", {
-                    "params": trainer.params,
-                    "opt_state": trainer.opt_state,
-                    "optimal_threshold": (
-                        float("nan") if trainer.optimal_threshold is None
-                        else trainer.optimal_threshold)})
+                ckpt.save("best_model", _payload())
         if check_reconstr_every and epoch % check_reconstr_every == 0:
             rec = trainer.reconstruction()
             logger.scalars("reconstruction", {
                 "f1": float(rec.f1), "accuracy": float(rec.accuracy),
                 "threshold": float(rec.threshold)}, epoch)
-        ckpt.save(epoch, {"params": trainer.params,
-                          "opt_state": trainer.opt_state,
-                          "optimal_threshold": (
-                              float("nan") if trainer.optimal_threshold is None
-                              else trainer.optimal_threshold)})
+        ckpt.save(epoch, _payload())
         logger.scalar("epoch_time", time.time() - t0, epoch)
 
     results = {"best_val_f1": best_f1, "best_epoch": best_epoch}
@@ -428,11 +455,7 @@ def run_label_embedding(
     # threshold (reference load_best_model before the final passes,
     # order_embeddings.py:566,601,715)
     if best_epoch >= 0:
-        payload = ckpt.load("best_model", like)
-        trainer.params = payload["params"]
-        trainer.opt_state = payload["opt_state"]
-        thr = float(payload["optimal_threshold"])
-        trainer.optimal_threshold = None if np.isnan(thr) else thr
+        _restore(ckpt.load("best_model", like))
     if len(splits.test):
         if trainer.optimal_threshold is None and len(splits.val):
             # never sweep the threshold on test data: calibrate on val

@@ -63,6 +63,13 @@ def test_classifier_runner_artifacts_and_resume(class_setup, tmp_path):
     res2 = run_classifier(lm, datasets, "", cfg, **{**kw, "n_epochs": 3,
                                                     "resume": True})
     assert Checkpointer(res2["experiment"]).find_existing_weights() == 2
+    # --resume competes against the ORIGINAL best (carried in the
+    # checkpoint payload), never a reset -1: a resume past completion
+    # runs no epochs yet reports and reloads the original best
+    res2b = run_classifier(lm, datasets, "", cfg, **{**kw, "n_epochs": 3,
+                                                     "resume": True})
+    assert res2b["best_epoch"] == res2["best_epoch"]
+    assert res2b["best_val_score"] == pytest.approx(res2["best_val_score"])
     # metrics jsonl exists with train/loss entries
     lines = [json.loads(l) for l in open(
         os.path.join(exp.logs, "metrics.jsonl"))]
@@ -112,12 +119,20 @@ def test_embedding_runner_resume_and_threshold_payload(tmp_path):
     exp = res2["experiment"]
     ck = Checkpointer(exp)
     assert ck.find_existing_weights() == 4
-    # optimal_threshold persisted in the checkpoint payload
+    # optimal_threshold + best-tracking persisted in the checkpoint payload
     like = {"params": res2["trainer"].params,
             "opt_state": res2["trainer"].opt_state,
-            "optimal_threshold": 0.0}
+            "optimal_threshold": 0.0,
+            "best_f1": -1.0, "best_epoch": -1.0}
     payload = ck.load(4, like)
     assert payload["optimal_threshold"] > 0.0
+    assert payload["best_f1"] == pytest.approx(res2["best_val_f1"])
+    # resume past completion: the loop never runs, yet the original best
+    # must be restored from the checkpoint (not reset to -1) and reported
+    res3 = run_label_embedding(lm, splits, cfg,
+                               **{**kw, "n_epochs": 5, "resume": True})
+    assert res3["best_val_f1"] == pytest.approx(res2["best_val_f1"])
+    assert res3["best_epoch"] == res2["best_epoch"]
 
 
 def test_joint_resume_preserves_best_tracking(tmp_path):
