@@ -101,6 +101,23 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert ckpt.find_existing_weights() == 3
 
 
+def test_checkpointer_load_tolerates_key_drift(tmp_path):
+    """Payloads gain bookkeeping keys over time (best_score/best_f1/
+    best_epoch) while eval/inference callers template only the subtrees
+    they use — load() must serve both a narrower and a wider template."""
+    exp = ExperimentDir(str(tmp_path), "drift")
+    ckpt = Checkpointer(exp)
+    ckpt.save(1, {"params": {"w": np.ones((2, 2), np.float32)},
+                  "extra": 5.0})
+    out = ckpt.load(1, {"params": {"w": np.zeros((2, 2), np.float32)}})
+    assert "extra" not in out
+    assert np.array_equal(out["params"]["w"], np.ones((2, 2)))
+    out2 = ckpt.load(1, {"params": {"w": np.zeros((2, 2), np.float32)},
+                         "missing": -1.0})
+    assert float(out2["missing"]) == -1.0
+    assert np.array_equal(out2["params"]["w"], np.ones((2, 2)))
+
+
 def test_embedding_runner_resume_and_threshold_payload(tmp_path):
     lm = toy_labelmap(branching=3, n_levels=3)
     A = label_graph_from_paths(lm.leaf_paths(), lm)
