@@ -263,17 +263,25 @@ def make_joint_negative_sampler(
     # mixes label candidates in, so the row is never empty)
     image_pass_used = pass_levels is not None and bool(
         (pass_levels == L).any())
-    if image_pass_used and bool((run_cnt_np == ni).any()):
+    if image_pass_used:
         # a label every image descends from has an EMPTY negative-image
         # complement; the clamped draw below would silently return a
         # descendant (a positive trained as a negative). The reference
         # crashes on the empty candidate set (random.choice([]),
-        # oe_h.py:881-905) — fail loudly here too.
-        bad = [int(u) for u in np.nonzero((run_cnt_np == ni).any(0))[0]]
-        raise ValueError(
-            f"labels {bad} are ancestors of EVERY train image — the "
-            "image-level negative pass has no candidates for them; hide "
-            "that level or drop pick_per_level")
+        # oe_h.py:881-905) — fail loudly here too. Labels on HIDDEN levels
+        # can never anchor a draw (filter_stage_edges drops their edges),
+        # so the guard only scans visible label levels — hiding the
+        # offending level is a legitimate remedy, not a re-raise.
+        empty_compl = run_cnt_np == ni
+        for l in set(levels_to_hide):
+            if 0 <= l < L:
+                empty_compl[:, int(starts[l]):int(stops[l])] = False
+        if bool(empty_compl.any()):
+            bad = [int(u) for u in np.nonzero(empty_compl.any(0))[0]]
+            raise ValueError(
+                f"labels {bad} are ancestors of EVERY train image — the "
+                "image-level negative pass has no candidates for them; "
+                "hide that level or drop pick_per_level")
     img_order_by_level = jnp.asarray(np.stack(img_order_by_level))  # (L, ni)
     run_start = jnp.asarray(run_start_np)
     run_cnt = jnp.asarray(run_cnt_np)

@@ -89,6 +89,32 @@ def read_manifest(path: str) -> Dict[str, str]:
     return out
 
 
+def _key_name(entry) -> str:
+    """Uniform name for a pytree key-path entry: dict key, namedtuple
+    field, or sequence index (orbax's template-less restore turns
+    namedtuples into dicts keyed by field name and tuples into lists, so
+    name paths — unlike flatten ORDER, which is alphabetical for dicts but
+    positional for namedtuples — line up between the two forms)."""
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
+
+
+def _retype(template, raw):
+    """Rebuild `raw` (nested dicts/lists from a template-less orbax
+    restore) in the exact pytree structure of `template`, matching leaves
+    by named key-path. Raises KeyError on a leaf the checkpoint lacks —
+    a genuine structure mismatch must fail loudly, not fill defaults."""
+    raw_leaves = {
+        tuple(_key_name(e) for e in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(raw)[0]}
+    t_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [raw_leaves[tuple(_key_name(e) for e in path)]
+              for path, _ in t_paths]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class Checkpointer:
     """Orbax-backed checkpoints with the reference's naming scheme:
     numbered epochs + 'best_model' (experiment.py:192-224)."""
@@ -121,10 +147,15 @@ class Checkpointer:
             # (payloads gain bookkeeping keys over time — e.g. best_score /
             # best_f1 / best_epoch — while eval/inference/export callers
             # template only the subtrees they use, and older checkpoints
-            # predate new keys): raw-restore and project onto the template,
-            # defaulting keys the checkpoint doesn't have to the template's
+            # predate new keys): raw-restore, rebuild each subtree in the
+            # template's pytree structure (a template-less restore returns
+            # plain dicts/lists — optax NamedTuple states must be re-typed
+            # or the next optimizer step crashes), drop checkpoint keys the
+            # template doesn't ask for, default template keys the
+            # checkpoint doesn't have
             raw = self.load_raw(name)
-            return {k: raw.get(k, like[k]) for k in like}
+            return {k: (_retype(like[k], raw[k]) if k in raw else like[k])
+                    for k in like}
 
     def load_raw(self, name) -> Dict[str, Any]:
         """Restore without a target template (numpy leaves) — for reading

@@ -127,8 +127,7 @@ def joint_edge_metrics(label_emb, image_emb, img_paths_global, graph,
     label_emb: (n_labels, d); image_emb: (n_split_images, d) — shared by
     the fc7 trainer (FeatNet on features) and the CNN trainer (tower on
     pixels). threshold=None sweeps best-F1 (val); a float reuses it."""
-    from ..eval import best_threshold_metrics, threshold_metrics
-    from ..geometry import ENERGY_FNS
+    from ..eval import threshold_metrics
     from ..losses.joint_sampling import sample_joint_negatives_np
 
     paths = np.asarray(img_paths_global, np.int32)

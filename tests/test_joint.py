@@ -154,6 +154,15 @@ def test_empty_image_complement_raises(setup):
     # rejected at build time (pass slots = visible[r % len(visible)] for
     # r < R: with L=3 and R=2, only label levels 0 and 1 appear)
     make_joint_negative_sampler(graph, 2, pick_per_level=True)
+    # an offender confined to ONE level: hiding that level legalizes the
+    # stage (hidden labels never anchor a draw — filter_stage_edges drops
+    # their edges), so the error's own remedy actually works
+    ll2 = lm.leaf_paths()[np.arange(8) % 4]     # all under level-0 node 0
+    graph2, _ = build_joint_graph(lm, ll2)
+    with pytest.raises(ValueError, match="ancestors? of"):
+        make_joint_negative_sampler(graph2, 4, pick_per_level=True)
+    make_joint_negative_sampler(graph2, 4, pick_per_level=True,
+                                levels_to_hide=(0,))
 
 
 def test_joint_sampler_respects_hidden_levels(setup):

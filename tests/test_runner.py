@@ -116,6 +116,26 @@ def test_checkpointer_load_tolerates_key_drift(tmp_path):
                          "missing": -1.0})
     assert float(out2["missing"]) == -1.0
     assert np.array_equal(out2["params"]["w"], np.ones((2, 2)))
+    # the drift fallback must re-type optax NamedTuple states (a raw
+    # restore yields plain dicts; an untyped opt_state crashes the next
+    # update): pre-drift checkpoint -> wider template -> usable state
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.ones((2, 2), jnp.float32)}
+    opt_state = tx.init(params)
+    ckpt.save(2, {"params": params, "opt_state": opt_state})
+    like = {"params": params, "opt_state": opt_state,
+            "best_score": -1.0}
+    out3 = ckpt.load(2, like)
+    assert float(out3["best_score"]) == -1.0
+    assert (jax.tree_util.tree_structure(out3["opt_state"])
+            == jax.tree_util.tree_structure(opt_state))
+    # and it actually drives an update
+    grads = {"w": jnp.ones((2, 2), jnp.float32)}
+    tx.update(grads, out3["opt_state"], params)
 
 
 def test_embedding_runner_resume_and_threshold_payload(tmp_path):
