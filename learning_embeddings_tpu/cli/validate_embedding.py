@@ -80,13 +80,8 @@ def main(args=None):
     if name is None:
         name = ("best_model" if "best_model" in os.listdir(exp.weights)
                 else ckpt.find_existing_weights())
-    payload = ckpt.load(name, {
-        "params": trainer.params, "opt_state": trainer.opt_state,
-        "optimal_threshold": float("nan")})
-    trainer.params = payload["params"]
-    # NaN marks "never calibrated"; 0.0 is a valid cone-energy threshold
-    thr = float(payload["optimal_threshold"])
-    trainer.optimal_threshold = None if np.isnan(thr) else thr
+    payload = ckpt.load(name, trainer.checkpoint_payload())
+    trainer.restore_payload(payload)
 
     rec = trainer.reconstruction()
     print(f"checkpoint {name}: reconstruction f1={float(rec.f1):.4f} "

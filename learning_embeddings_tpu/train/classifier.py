@@ -329,6 +329,17 @@ class ClassifierTrainer:
         self.state = state
 
     # ------------------------------------------------------------------
+    def checkpoint_payload(self) -> dict:
+        """Trainer half of the checkpoint contract shared by all four
+        trainer families (runners add their loop bookkeeping on top)."""
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state}
+
+    def restore_payload(self, payload: dict) -> None:
+        self.state = self.state.replace(**payload)
+
+    # ------------------------------------------------------------------
     def put_batch(self, images, level_labels, multihot):
         if self._batch_sharding is None:
             return (jnp.asarray(images), jnp.asarray(level_labels),

@@ -253,6 +253,22 @@ class EmbeddingTrainer:
         }
 
     # ------------------------------------------------------------------
+    def checkpoint_payload(self) -> dict:
+        """Trainer half of the shared checkpoint contract. NaN encodes
+        "no calibrated threshold yet" — 0.0 is a legitimate calibrated
+        value for cone energies (positives can sit exactly at 0 energy)."""
+        return {"params": self.params, "opt_state": self.opt_state,
+                "optimal_threshold": (
+                    float("nan") if self.optimal_threshold is None
+                    else float(self.optimal_threshold))}
+
+    def restore_payload(self, payload: dict) -> None:
+        self.params = payload["params"]
+        self.opt_state = payload["opt_state"]
+        thr = float(payload["optimal_threshold"])
+        self.optimal_threshold = None if np.isnan(thr) else thr
+
+    # ------------------------------------------------------------------
     def load_embedding_table(self, table: np.ndarray) -> None:
         """Warm start from an external table (--load_cosine_emb /
         --load_emb_from, oe_h.py:1435-1436, order_embeddings.py:722-741).

@@ -200,27 +200,22 @@ def run_classifier(
     best_score, best_epoch = -1.0, -1
 
     # checkpoints carry the loop's best-model bookkeeping alongside the
-    # state so --resume keeps competing against the ORIGINAL best val
-    # score instead of overwriting best_model with the first post-resume
-    # eval (same contract as the joint runner)
+    # trainer payload so --resume keeps competing against the ORIGINAL
+    # best val score instead of overwriting best_model with the first
+    # post-resume eval (same contract as the joint runner)
     def _payload():
-        return {"params": trainer.state.params,
-                "batch_stats": trainer.state.batch_stats,
-                "opt_state": trainer.state.opt_state,
-                "best_score": float(best_score),
-                "best_epoch": float(best_epoch)}
+        return dict(trainer.checkpoint_payload(),
+                    best_score=float(best_score),
+                    best_epoch=float(best_epoch))
 
-    like = {"params": trainer.state.params,
-            "batch_stats": trainer.state.batch_stats,
-            "opt_state": trainer.state.opt_state,
-            "best_score": -1.0, "best_epoch": -1.0}
+    like = _payload()
     if resume:
         latest = ckpt.find_existing_weights()
         if latest is not None:
             payload = ckpt.load(latest, like)
             best_score = float(payload.pop("best_score"))
             best_epoch = int(payload.pop("best_epoch"))
-            trainer.state = trainer.state.replace(**payload)
+            trainer.restore_payload(payload)
             start_epoch = latest + 1
 
     rng = np.random.RandomState(cfg.seed)
@@ -308,7 +303,7 @@ def run_classifier(
             payload = ckpt.load("best_model", like)
             payload.pop("best_score")
             payload.pop("best_epoch")
-            trainer.state = trainer.state.replace(**payload)
+            trainer.restore_payload(payload)
         except FileNotFoundError:
             if set_mode != "train":
                 raise
@@ -388,28 +383,18 @@ def run_label_embedding(
     start_epoch = 0
     best_f1, best_epoch = -1.0, -1
 
-    # NaN = "no calibrated threshold yet": 0.0 is a legitimate calibrated
-    # value for cone energies (positives can sit exactly at 0 energy).
     # best_f1/best_epoch ride in every checkpoint so --resume keeps
     # competing against the ORIGINAL best instead of overwriting
     # best_model with the first post-resume eval (joint-runner contract).
     def _payload():
-        return {"params": trainer.params, "opt_state": trainer.opt_state,
-                "optimal_threshold": (
-                    float("nan") if trainer.optimal_threshold is None
-                    else trainer.optimal_threshold),
-                "best_f1": float(best_f1), "best_epoch": float(best_epoch)}
+        return dict(trainer.checkpoint_payload(),
+                    best_f1=float(best_f1), best_epoch=float(best_epoch))
 
-    like = {"params": trainer.params, "opt_state": trainer.opt_state,
-            "optimal_threshold": float("nan"),
-            "best_f1": -1.0, "best_epoch": -1.0}
+    like = _payload()
 
     def _restore(payload):
         best = float(payload.pop("best_f1")), int(payload.pop("best_epoch"))
-        trainer.params = payload["params"]
-        trainer.opt_state = payload["opt_state"]
-        thr = float(payload["optimal_threshold"])
-        trainer.optimal_threshold = None if np.isnan(thr) else thr
+        trainer.restore_payload(payload)
         return best
 
     if resume:
