@@ -171,7 +171,13 @@ def generate_normalization_values(pipeline, order: np.ndarray,
     input pipeline."""
     n, s, s2 = 0, 0.0, 0.0
     for i, batch in enumerate(pipeline.batches(order)):
+        # float64 BEFORE squaring: a uint8 pipeline's (x ** 2) would wrap
+        # mod 256 (200² -> 64), and uint8 batches are on the 0-255 scale
+        # while float pipelines are [0,1] — normalize to [0,1] either way
         x = batch["image"].reshape(-1, batch["image"].shape[-1])
+        x = x.astype(np.float64)
+        if batch["image"].dtype == np.uint8:
+            x = x / 255.0
         n += x.shape[0]
         s = s + x.sum(axis=0)
         s2 = s2 + (x ** 2).sum(axis=0)

@@ -66,13 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
             ]
-        except AttributeError:   # symbol missing: treat as unavailable
+            lib.le_resize_bilinear.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.c_int,
+            ]
+        except AttributeError:   # any symbol missing: treat as unavailable
             return None
-        lib.le_resize_bilinear.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.c_int,
-        ]
         _lib = lib
         return _lib
 

@@ -113,14 +113,17 @@ def stratified_split(
     minimum_samples: int = 3,
     minimum_samples_to_use_split: int = 10,
 ) -> Tuple[List[dict], List[dict], List[dict]]:
-    """Leaf-stratified split with the reference's exact rules
-    (db.py:3968-3998): per leaf class, in database order —
+    """Leaf-stratified split with the reference's rules (db.py:3968-3998):
+    per leaf class, in database order —
     * < minimum_samples: dropped entirely,
     * < minimum_samples_to_use_split: n//3 each,
     * else: floor(ratio·n) each;
     leftovers: ceil(half) to val, floor(half) to test; test takes the LAST
-    n_test samples (overlapping val when thirds don't cover n — a quirk we
-    preserve)."""
+    n_test samples. The remainder distribution makes the three counts
+    cover n exactly, so the splits never overlap. Deliberate deviation:
+    with test_ratio = 0 the reference's `samples[-n_test:]` slice is
+    `[-0:]` == the WHOLE class (db.py:3993 would duplicate every sample
+    into test); here n_test = 0 yields an empty test split."""
     by_leaf: Dict[int, List[int]] = {}
     for i, rec in enumerate(records):
         lid = labelmap.get_label_id(labelmap.level_names[-1], leaf_name(rec))

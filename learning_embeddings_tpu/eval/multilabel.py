@@ -36,18 +36,25 @@ def _f1(p, r):
     return (p * r) * 2 / (p + r + 1e-6)   # reference get_f1score epsilon
 
 
-def per_class_pr(scores: np.ndarray, multihot: np.ndarray):
-    """Per-class (precision, recall, thresholds, AP) + mAP."""
+def per_class_pr(scores: np.ndarray, multihot: np.ndarray,
+                 compute_ap: bool = True):
+    """Per-class (precision, recall, thresholds, AP) + mAP. Zero-support
+    classes get EMPTY curves (so downstream `len(t) == 0` guards fire) and
+    AP 0.0. compute_ap=False skips the per-class average_precision_score
+    (threshold tuning only needs the curves — the AP pass roughly doubles
+    the sklearn work at 723 classes per val epoch)."""
     out = {}
     aps = []
+    empty = np.array([], np.float64)
     for c in range(scores.shape[1]):
         y = multihot[:, c]
         if y.sum() == 0:
-            out[c] = (np.array([0.0]), np.array([0.0]), np.array([0.0]), 0.0)
+            out[c] = (empty, empty, empty, 0.0)
             aps.append(0.0)
             continue
         p, r, t = precision_recall_curve(y, scores[:, c])
-        ap = average_precision_score(y, scores[:, c])
+        ap = (average_precision_score(y, scores[:, c]) if compute_ap
+              else 0.0)
         out[c] = (p, r, t, ap)
         aps.append(ap)
     return out, float(np.mean(aps))
@@ -55,7 +62,7 @@ def per_class_pr(scores: np.ndarray, multihot: np.ndarray):
 
 def tune_per_class_thresholds(scores: np.ndarray, multihot: np.ndarray) -> np.ndarray:
     """Best-F1 threshold per class from its PR curve (val calibration)."""
-    curves, _ = per_class_pr(scores, multihot)
+    curves, _ = per_class_pr(scores, multihot, compute_ap=False)
     th = np.zeros(scores.shape[1], np.float64)
     for c, (p, r, t, ap) in curves.items():
         if len(t) == 0:

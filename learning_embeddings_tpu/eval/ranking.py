@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import pairwise_energy
+from .metrics import prf1_from_counts
 
 __all__ = ["joint_classification_metrics"]
 
@@ -69,16 +70,13 @@ def joint_classification_metrics(
         np.add.at(per_label["tn"], gt[correct], -1)
 
     tp, fp, fn, tn = (per_label[k] for k in ("tp", "fp", "fn", "tn"))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        prec = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
-        rec = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
-        f1 = np.where(prec + rec > 0,
-                      2 * prec * rec / np.maximum(prec + rec, 1e-30), 0.0)
+    # degenerate_one=False: the joint metrics score never-predicted
+    # zero-support labels 0.0 (oe_h.py:2071-2086), unlike MetricsMultiLevel
+    prec, rec, f1 = prf1_from_counts(tp, tp + fp, tp + fn,
+                                     degenerate_one=False)
     t_tp, t_fp, t_fn, t_tn = tp.sum(), fp.sum(), fn.sum(), tn.sum()
-    micro_p = t_tp / max(t_tp + t_fp, 1)
-    micro_r = t_tp / max(t_tp + t_fn, 1)
-    micro_f1 = (2 * micro_p * micro_r / (micro_p + micro_r)
-                if micro_p + micro_r > 0 else 0.0)
+    micro_p, micro_r, micro_f1 = (float(x) for x in prf1_from_counts(
+        t_tp, t_tp + t_fp, t_tp + t_fn, degenerate_one=False))
 
     out: Dict[str, object] = {
         "micro_precision": float(micro_p),

@@ -30,8 +30,13 @@ def render_tsne(features: np.ndarray, level_labels: np.ndarray, labelmap,
         raise ValueError("render_tsne renders 3-D projections only")
     os.makedirs(out_dir, exist_ok=True)
     n = min(len(features), max_points)
+    if n < 2:
+        return      # nothing to embed; sklearn requires >= 2 samples
+    # sklearn requires perplexity < n_samples — clamp the 5..30 window
+    # down for tiny debug/toy feature sets
+    perplexity = min(min(30, max(5, n // 10)), n - 1)
     emb = TSNE(n_components=n_components, init="pca",
-               perplexity=min(30, max(5, n // 10)),
+               perplexity=perplexity,
                random_state=0).fit_transform(features[:n])
     for l in range(labelmap.n_levels):
         labels = level_labels[:n, l]

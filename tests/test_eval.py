@@ -188,3 +188,52 @@ def test_degenerate_class_scores_one_like_reference():
     p, r, f1 = prf1_from_counts([2, 0], [2, 0], [2, 0],
                                 degenerate_one=False)
     np.testing.assert_allclose(f1, [1.0, 0.0])
+
+
+def test_pr_curves_render_with_zero_support_class(tmp_path):
+    """A class with no positives in the eval set must get EMPTY PR curves
+    (so the renderer's len-guard fires) instead of length-1 placeholders
+    that crash ax.plot with mismatched shapes."""
+    import numpy as np
+
+    from learning_embeddings_tpu.eval.multilabel import (
+        per_class_pr,
+        render_pr_curves,
+    )
+
+    rng = np.random.RandomState(0)
+    scores = rng.rand(20, 4)
+    mh = np.zeros((20, 4), np.float32)
+    mh[:10, 0] = 1
+    mh[5:12, 1] = 1          # classes 2 and 3 have zero support
+    curves, _ = per_class_pr(scores, mh)
+    assert len(curves[2][2]) == 0 and len(curves[3][2]) == 0
+    out = str(tmp_path / "pr.png")
+    render_pr_curves(scores, mh, [f"c{i}" for i in range(4)], out)
+    import os
+    assert os.path.exists(out)
+
+
+def test_normalization_values_uint8_matches_float(tmp_path):
+    """generate_normalization_values must agree between uint8 and float32
+    pipelines (uint8 squaring would wrap mod 256 without the f64 cast)."""
+    import numpy as np
+
+    from learning_embeddings_tpu.data.build_db import (
+        generate_normalization_values)
+
+    class FakePipe:
+        def __init__(self, images):
+            self.images = images
+
+        def batches(self, order):
+            yield {"image": self.images}
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (16, 8, 8, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    m_u8, s_u8 = generate_normalization_values(FakePipe(u8), np.arange(16))
+    m_f, s_f = generate_normalization_values(FakePipe(f32), np.arange(16))
+    np.testing.assert_allclose(m_u8, m_f, rtol=1e-6)
+    np.testing.assert_allclose(s_u8, s_f, rtol=1e-6)
+    assert (s_u8 > 0.2).all()   # wrapped squares would collapse std
