@@ -16,11 +16,21 @@ from .common import add_common_flags, load_ethec_data, manifest_from_args
 
 LOSS_MAP = {
     "order_emb_loss": "order",
-    "euc_cones_loss": "hyp_cone",   # reference EucConesLoss in oe_h is the
-    #                                 hyperbolic-cone energy (misnamed
-    #                                 upstream, order_embeddings_h.py:1074)
     "hyp_cones_loss": "hyp_cone",
 }
+
+
+def resolve_energy(loss: str, default_energy: str) -> str:
+    """The reference reuses the class name
+    EuclideanConesWithImagesHypernymLoss for two DIFFERENT geometries:
+    in oe.py it is a genuine Euclidean cone (K=3.0, soft_clip norm+K,
+    oe.py:650-742); in oe_h.py it is the hyperbolic-cone geometry
+    (K=0.1 with inner_radius, oe_h.py:739-760) — so `--loss
+    euc_cones_loss` maps per driver."""
+    if loss == "euc_cones_loss":
+        return "hyp_cone" if default_energy == "hyp_cones_loss" \
+            else "euc_cone"
+    return LOSS_MAP[loss]
 
 
 def build_parser(default_energy: str):
@@ -37,7 +47,12 @@ def build_parser(default_energy: str):
     parser.add_argument("--image_dir", type=str, required=True)
     parser.add_argument("--embedding_dim", type=int, default=10)
     parser.add_argument("--neg_to_pos_ratio", type=int, default=5)
-    parser.add_argument("--model", type=str, default="alexnet")
+    parser.add_argument("--model", type=str, default=None,
+                        help="fc7 path: recorded only (features are "
+                             "precomputed; reference default alexnet, "
+                             "oe_h.py:2428). --use_CNN: the pixel-tower "
+                             "backbone (default resnet18). An explicit "
+                             "value is always respected.")
     parser.add_argument("--loss", type=str, default=default_energy)
     parser.add_argument("--loss_variant", type=str, default="margin",
                         choices=("margin", "vendrov", "nll"),
@@ -127,6 +142,8 @@ def load_features(features_dir: str, split: str, dataset):
 
 def joint_main(args, default_energy: str):
     args = build_parser(default_energy).parse_args(args)
+    if args.model is None:   # effective backbone lands in the manifest
+        args.model = "resnet18" if args.use_CNN else "alexnet"
     labelmap, datasets, _ = load_ethec_data(args.data_dir, args.debug)
     cache = os.path.join(args.data_dir, "joint_graph.npz")
     if args.load_G_from_disk and os.path.exists(cache):
@@ -142,7 +159,8 @@ def joint_main(args, default_energy: str):
             save_joint_graph(cache, graph, train_edges)
 
     if args.use_CNN:
-        return _joint_cnn_main(args, labelmap, datasets, graph, train_edges)
+        return _joint_cnn_main(args, labelmap, datasets, graph, train_edges,
+                               default_energy)
 
     features_dir = args.features_dir or os.path.join(args.data_dir,
                                                      "embeddings")
@@ -165,7 +183,7 @@ def joint_main(args, default_energy: str):
               "FeatNet projection and label table keep training")
     init_table, init_threshold = load_warm_start(args, labelmap.n_classes)
     cfg = JointTrainerConfig(
-        energy=LOSS_MAP[args.loss],
+        energy=resolve_energy(args.loss, default_energy),
         embedding_dim=args.embedding_dim,
         feature_dim=feats.shape[1],
         lr_labels=args.lr,
@@ -200,7 +218,8 @@ def joint_main(args, default_energy: str):
     return result
 
 
-def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
+def _joint_cnn_main(args, labelmap, datasets, graph, train_edges,
+                    default_energy):
     """--use_CNN: end-to-end image tower on pixels, through the SAME
     experiment runner as the fc7 path (train/runner.py run_joint_cnn:
     resume, threshold checkpointing, edge-F1 calibration on val,
@@ -248,8 +267,9 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges):
     init_table, init_threshold = load_warm_start(args, labelmap.n_classes)
     cfg = JointCNNConfig(
         loss_variant=args.loss_variant,
-        energy=LOSS_MAP[args.loss], backbone=args.model
-        if args.model != "alexnet" else "resnet18",
+        energy=resolve_energy(args.loss, default_energy),
+        backbone=args.model,   # resolved in joint_main: explicit choice
+        #   (including alexnet) respected, default resnet18 on this path
         embedding_dim=args.embedding_dim, image_size=size,
         lr_labels=args.lr, lr_images=args.lr_images,
         batch_size=args.batch_size, neg_to_pos_ratio=args.neg_to_pos_ratio,

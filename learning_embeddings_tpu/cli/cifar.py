@@ -56,6 +56,10 @@ def build_parser():
                              "config; TPU throughput win).")
     parser.add_argument("--bn_stats_rows", type=int, default=0)
     parser.add_argument("--n_model", type=int, default=1)
+    parser.add_argument("--lr_step", type=int, nargs="*",
+                        default=[],
+                        help="Epochs where lr *= lr_decay "
+                             "(reference MultiStepLR, finetuner.py:102)")
     parser.add_argument("--lr_decay", type=float, default=0.1)
     return parser
 

@@ -54,11 +54,11 @@ def main(args=None):
 
         exp = ExperimentDir(*os.path.split(args.experiment_load_dir.rstrip("/")))
         ckpt = Checkpointer(exp)
-        payload = ckpt.load("best_model", {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-            "opt_state": None})
-        # classifier params nest the trunk under 'trunk'
+        # raw restore: a classifier checkpoint's structure (params nested
+        # under 'trunk'/'fc', optimizer state, bookkeeping keys) doesn't
+        # match this bare-trunk module, so a template load can't work —
+        # the trunk subtree is extracted below
+        payload = ckpt.load_raw("best_model")
         params = payload["params"].get("trunk", payload["params"])
         variables = {"params": params,
                      "batch_stats": payload["batch_stats"].get(

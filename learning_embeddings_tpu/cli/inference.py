@@ -45,14 +45,22 @@ def rebuild_from_manifest(experiment_path: str):
         image_size=int(manifest.get("image_size", 448)),
         batch_size=int(manifest.get("batch_size", 8)),
         seed=int(manifest.get("random_seed", 0)),
+        # structural flags: without them --use_2d experiments rebuild the
+        # wrong head (params under 'fc' vs 'bottleneck'/'level_fc*') and
+        # the checkpoint cannot load
+        head_override=("bottleneck2d"
+                       if manifest.get("use_2d", "False") == "True"
+                       else None),
+        optimizer=manifest.get("optimizer_method", "adam"),
     )
     grayscale = manifest.get("use_grayscale", "False") == "True"
     trainer = ClassifierTrainer(labelmap, cfg, grayscale=grayscale)
     exp = ExperimentDir(*os.path.split(experiment_path.rstrip("/")))
     ckpt = Checkpointer(exp)
+    # inference never touches the optimizer: templating only the weights
+    # keeps this loadable regardless of which optimizer trained the run
     like = {"params": trainer.state.params,
-            "batch_stats": trainer.state.batch_stats,
-            "opt_state": trainer.state.opt_state}
+            "batch_stats": trainer.state.batch_stats}
     name = "best_model" if "best_model" in os.listdir(exp.weights) else \
         ckpt.find_existing_weights()
     payload = ckpt.load(name, like)
@@ -153,6 +161,18 @@ def run_lime(experiment_path: str, image_dir: str, split: str = "test",
 
     starts = np.asarray(labelmap.level_start)
     stops = starts + np.asarray(labelmap.levels)
+    # per-level (level, lo, hi) slices into the raw logits — because the
+    # per-level softmax blocks are concatenated in order, the same offsets
+    # index the predict() output. A 'leaf' head (last_level_ce) emits
+    # leaf logits only: explain just the leaf level at [0, n_leaf)
+    S = trainer.cfg.image_size
+    width = jax.eval_shape(logits_fn, jax.ShapeDtypeStruct(
+        (1, S, S, 1 if gray else 3), jnp.float32)).shape[-1]
+    if width == labelmap.n_classes:
+        level_slices = [(l, int(starts[l]), int(stops[l]))
+                        for l in range(labelmap.n_levels)]
+    else:
+        level_slices = [(labelmap.n_levels - 1, 0, width)]
     for i, batch in enumerate(pipe.batches(np.arange(min(n_samples,
                                                          len(ds))))):
         img = batch["image"][0]                      # (H, W, C) normalized
@@ -177,15 +197,13 @@ def run_lime(experiment_path: str, image_dir: str, split: str = "test",
         def predict(images):
             raw = logits_fn(jnp.asarray(images))
             return np.concatenate(
-                [np.asarray(jax.nn.softmax(
-                    raw[:, int(starts[l]):int(stops[l])], axis=-1))
-                 for l in range(labelmap.n_levels)], axis=1)
+                [np.asarray(jax.nn.softmax(raw[:, a:b], axis=-1))
+                 for _, a, b in level_slices], axis=1)
 
         coefs, probs0 = lime_explain(
             img, predict, segments, num_samples=num_perturb,
             hide_color=0.0, rng=np.random.RandomState(0))
-        for l in range(labelmap.n_levels):
-            a, b = int(starts[l]), int(stops[l])
+        for l, a, b in level_slices:
             top = np.argsort(-probs0[a:b])[:top_labels]
             cells, x_labels = [], []
             for rank, c in enumerate(top):
@@ -226,6 +244,18 @@ def run_occlusion(experiment_path: str, image_dir: str, split: str = "test",
              "batch_stats": trainer.state.batch_stats}, images, train=False)
         return raw
 
+    # a 'leaf' head (last_level_ce) emits leaf logits only — explain just
+    # the leaf level at offset 0; multi-head models explain every level at
+    # its level_start offset into the raw logits
+    S = trainer.cfg.image_size
+    width = jax.eval_shape(scores_fn, jax.ShapeDtypeStruct(
+        (1, S, S, 1 if gray else 3), jnp.float32)).shape[-1]
+    if width == labelmap.n_classes:
+        exp_levels = [(l, int(labelmap.level_start[l]))
+                      for l in range(labelmap.n_levels)]
+    else:
+        exp_levels = [(labelmap.n_levels - 1, 0)]
+
     S = trainer.cfg.image_size
     patch = min(patch, max(S // 4, 1))      # keep the grid non-empty for
     stride = min(stride, patch)             # small debug image sizes
@@ -256,16 +286,15 @@ def run_occlusion(experiment_path: str, image_dir: str, split: str = "test",
                 scores_fn(jnp.asarray(np.stack(occluded[s0:s0 + 32])))))
         occ = np.concatenate(occ_scores)
         summ.make_heading(f"Sample {i}: {ds.image_paths[batch['index'][0]]}", 2)
-        fig, axes = plt.subplots(1, labelmap.n_levels + 1,
-                                 figsize=(4 * (labelmap.n_levels + 1), 4))
+        fig, axes = plt.subplots(1, len(exp_levels) + 1,
+                                 figsize=(4 * (len(exp_levels) + 1), 4))
         axes[0].imshow(img[0] if img.shape[-1] == 3 else img[0, ..., 0])
         axes[0].set_title("input")
-        for l in range(labelmap.n_levels):
-            a = int(labelmap.level_start[l])
+        for j, (l, a) in enumerate(exp_levels):
             gt = a + int(ll[l])
             drop = (base[gt] - occ[:, gt]).reshape(len(ys), len(xs))
-            axes[l + 1].imshow(drop, cmap="hot")
-            axes[l + 1].set_title(
+            axes[j + 1].imshow(drop, cmap="hot")
+            axes[j + 1].set_title(
                 f"L{l}: {labelmap.ix_to_name[l][int(ll[l])]}")
         path = os.path.join(out_dir, f"sample_{i}.png")
         fig.savefig(path, bbox_inches="tight", dpi=100)

@@ -341,12 +341,16 @@ def make_joint_negative_sampler(
                 # LABEL. ('from' anchors are always labels here, so
                 # corrupt-'to' always draws images.)
                 anchor_is_image = anchors >= nl
+                # independent keys: the batch mixes label- and image-
+                # anchored elements, so both draws are partially consumed
+                # in one pass — sharing keys[r] would correlate them
+                k_img, k_lab = jax.random.split(keys[r])
                 if corrupt_to:
                     img_pick = nl + _sample_image_not_descended(
-                        keys[r], anchors)
+                        k_img, anchors)
                 else:
-                    img_pick = nl + jax.random.randint(keys[r], (B,), 0, ni)
-                lab_pick = _categorical(keys[r], lab_mask)
+                    img_pick = nl + jax.random.randint(k_img, (B,), 0, ni)
+                lab_pick = _categorical(k_lab, lab_mask)
                 cols.append(jnp.where(anchor_is_image, lab_pick, img_pick))
         return jnp.stack(cols, axis=1)                        # (B, R)
 

@@ -46,8 +46,9 @@ from ..optim.rsgd import (
     scale_by_conformal_factor,
 )
 
-JOINT_MODE = {"order": "euclidean", "hyp_cone": "hyp_cone_exp0"}
-DEFAULT_K = {"order": None, "hyp_cone": 0.1}
+JOINT_MODE = {"order": "euclidean", "euc_cone": "euc_cone",
+              "hyp_cone": "hyp_cone_exp0"}
+DEFAULT_K = {"order": None, "euc_cone": 3.0, "hyp_cone": 0.1}
 # reference curriculum (oe_h.py:1534-1536)
 DEFAULT_CURRICULUM = {0: (1, 2, 3), 20: (2, 3), 50: (3,), 100: ()}
 

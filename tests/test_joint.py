@@ -280,3 +280,37 @@ def test_joint_graph_cache_roundtrip(tmp_path):
                                   g2.image_paths_global)
     np.testing.assert_array_equal(graph.level_start, g2.level_start)
     np.testing.assert_array_equal(edges, e2)
+
+
+def test_euc_cones_loss_is_per_driver(setup):
+    """The reference reuses EuclideanConesWithImagesHypernymLoss for two
+    geometries — oe.py: genuine Euclidean cone (K=3, soft_clip norm+K,
+    oe.py:650-742); oe_h.py: hyperbolic cones (K=0.1, oe_h.py:739-760).
+    The CLI mapping must follow the driver, and the joint trainer must
+    actually train the euclidean-cone energy."""
+    from learning_embeddings_tpu.cli._joint_main import resolve_energy
+    from learning_embeddings_tpu.train.joint import (
+        DEFAULT_K,
+        JOINT_MODE,
+        JointEmbeddingTrainer,
+        JointTrainerConfig,
+    )
+
+    assert resolve_energy("euc_cones_loss", "order_emb_loss") == "euc_cone"
+    assert resolve_energy("euc_cones_loss", "hyp_cones_loss") == "hyp_cone"
+    assert JOINT_MODE["euc_cone"] == "euc_cone"
+    assert DEFAULT_K["euc_cone"] == 3.0
+
+    lm, graph, train_edges, feats, ll = setup
+    cfg = JointTrainerConfig(energy="euc_cone", embedding_dim=4,
+                             feature_dim=feats.shape[1], batch_size=10,
+                             neg_to_pos_ratio=3, alpha=0.05, seed=0,
+                             pick_per_level=True)
+    tr = JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg)
+    losses = [tr.train_epoch(e, np.random.RandomState(e))["loss"]
+              for e in range(3)]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    # soft-clip geometry: every node embedding has norm >= K
+    emb = np.asarray(tr.node_embeddings(
+        tr.params, jnp.arange(graph.n_labels)))
+    assert (np.linalg.norm(emb, axis=1) >= 3.0 - 1e-4).all()
