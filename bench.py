@@ -29,6 +29,16 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 500.0  # A100 PyTorch AMP ResNet-50 @448 train (est.)
 
 
+def _unique_tower_images(prepared, n_labels):
+    """Distinct images the CNN tower processes in one prepared joint step:
+    positive AND negative image nodes (the reference-parity sampler
+    corrupts label->image edges with image negatives on the image-level
+    pass). prepared[1:5] = (pos_from, pos_to, neg_from, neg_to)."""
+    ids = np.concatenate([np.asarray(prepared[j]).reshape(-1)
+                          for j in (1, 2, 3, 4)])
+    return int(len(np.unique(ids[ids >= n_labels])))
+
+
 def main(batch_size: int = 128, steps: int = 20, warmup: int = 3):
     import jax
     import jax.numpy as jnp
@@ -115,17 +125,20 @@ def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
     prepared = [trainer.prepare_batch(*batch(i))
                 for i in range(warmup + steps)]
 
-    def unique_images(p):
-        # every distinct image the CNN tower processes this step: positive
-        # AND negative image nodes (the reference-parity sampler corrupts
-        # label->image edges with image negatives on the image-level pass)
-        ids = np.concatenate([np.asarray(p[j]).reshape(-1)
-                              for j in (1, 2, 3, 4)])
-        return int(len(np.unique(ids[ids >= labelmap.n_classes])))
-
-    n_imgs = sum(unique_images(p) for p in prepared[warmup:])
+    n_imgs = sum(_unique_tower_images(p, labelmap.n_classes)
+                 for p in prepared[warmup:])
+    # warm EVERY pixel-bucket shape the timed loop will hit, not just the
+    # first `warmup` batches: the step compiles once per bucket, and a
+    # fresh remote compile (~10 min through the axon tunnel) landing
+    # inside the timed window would silently collapse the reported rate
+    warmed = set()
     for p in prepared[:warmup]:
+        warmed.add(p[0].shape[0])
         loss, _, _ = trainer.train_prepared(p)
+    for p in prepared[warmup:]:
+        if p[0].shape[0] not in warmed:
+            warmed.add(p[0].shape[0])
+            loss, _, _ = trainer.train_prepared(p)
     _ = float(loss)
     t0 = time.perf_counter()
     for p in prepared[warmup:]:
@@ -295,15 +308,15 @@ def main_joint_hostfed(batch_size: int = 16, steps: int = 8,
     # prefetch)
     from learning_embeddings_tpu.data.pipeline import prefetch_one
 
-    n_imgs = 0
+    kept = []   # count unique images AFTER the timed loop (bookkeeping is
+    #             measurement-only work, not part of the production path)
     t0 = time.perf_counter()
     for prepared in prefetch_one(prep(i) for i in range(1, steps + 1)):
-        ids = np.concatenate([np.asarray(prepared[j]).reshape(-1)
-                              for j in (1, 2, 3, 4)])
-        n_imgs += int(len(np.unique(ids[ids >= labelmap.n_classes])))
+        kept.append(prepared)
         loss, _, _ = trainer.train_prepared(prepared)
     _ = float(loss)
     dt = time.perf_counter() - t0
+    n_imgs = sum(_unique_tower_images(p, labelmap.n_classes) for p in kept)
     print(json.dumps({
         "metric": "ETHEC ResNet-50 hyp-cone joint train, host-fed "
                   "(native JPEG loader, uint8 transfer, one-deep prefetch)",

@@ -45,7 +45,11 @@ N_PER_LEAF = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 # PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/quality_cnn_flagship.py 1 1)
 SIZE = int(os.environ.get("LE_Q3_SIZE", 448))
 BACKBONE = os.environ.get("LE_Q3_BACKBONE", "resnet50")
-NAME = f"joint_cnn_flagship_{N_EPOCHS}ep"
+# every knob that changes the experiment is in the key — a CPU smoke or a
+# different images/leaf count must not clobber a converged flagship record
+NAME = (f"joint_cnn_flagship_{N_EPOCHS}ep_{N_PER_LEAF}perleaf"
+        + ("" if (SIZE, BACKBONE) == (448, "resnet50")
+           else f"_{BACKBONE}{SIZE}"))
 
 t0 = time.time()
 lm = _ethec_labelmap()

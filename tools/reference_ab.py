@@ -248,6 +248,33 @@ def parse_final(log_text):
     return out
 
 
+def _install_joint_db():
+    """Swap the reduced joint splits into database/ETHEC/{split}.json (the
+    path the drivers hard-code), backing the full merged pool up as
+    .labelonly. Idempotent; `restore_labelonly_db` is the inverse."""
+    db_dir = os.path.join(AB_ROOT, "database", "ETHEC")
+    jdir = os.path.join(AB_ROOT, "database", "ETHEC_joint")
+    for split in ("train", "val", "test"):
+        full = os.path.join(db_dir, f"{split}.json")
+        if not os.path.exists(full + ".labelonly"):
+            os.rename(full, full + ".labelonly")
+        with open(os.path.join(jdir, f"{split}.json")) as f:
+            blob = f.read()
+        with open(full, "w") as f:
+            f.write(blob)
+
+
+def restore_labelonly_db():
+    """Undo _install_joint_db's in-place swap: the label-only trainers
+    must consume the FULL merged val+test pool, not the reduced 2/1/1
+    joint DB a previous joint_fc7 run left installed."""
+    db_dir = os.path.join(AB_ROOT, "database", "ETHEC")
+    for split in ("train", "val", "test"):
+        bak = os.path.join(db_dir, f"{split}.json.labelonly")
+        if os.path.exists(bak):
+            os.replace(bak, os.path.join(db_dir, f"{split}.json"))
+
+
 def setup_joint_sandbox():
     """Reduced ETHEC DB + synthetic fc7 features for the JOINT fc7 A/B:
     2 train / 1 val / 1 test records per leaf (all 561 leaves; drawn from
@@ -262,6 +289,8 @@ def setup_joint_sandbox():
     emb_dir = os.path.join(db_dir, "ETHEC_embeddings")
     done = os.path.join(emb_dir, "test.npy")
     if os.path.exists(done):
+        _install_joint_db()   # a label-only run may have restored the
+        #                       full pool since — re-swap the reduced DB
         return db_dir, emb_dir
     setup_sandbox()   # ensures the merged-format pool exists
     os.makedirs(emb_dir, exist_ok=True)
@@ -316,14 +345,7 @@ def setup_joint_sandbox():
             json.dump(recs, f)
     # swap the reduced splits into the path the driver reads, keeping the
     # label-only DB for the other runs
-    for split in ("train", "val", "test"):
-        full = os.path.join(db_dir, f"{split}.json")
-        if not os.path.exists(full + ".labelonly"):
-            os.rename(full, full + ".labelonly")
-        with open(os.path.join(jdir, f"{split}.json")) as f:
-            blob = f.read()
-        with open(full, "w") as f:
-            f.write(blob)
+    _install_joint_db()
 
     # separable fc7 features, deterministic per image name
     sys.path.insert(0, REF)
@@ -771,6 +793,8 @@ def run_one(kind, n_epochs, lr=None):
     """kind: order | euc_cones (order_embeddings.py, adam)
              hyp_cones (order_embeddings_h.py, manual RSGD update)."""
     run_cwd = setup_sandbox()
+    restore_labelonly_db()   # a previous joint_fc7 run may have left the
+    #                          reduced 2/1/1 DB swapped into place
     setup_modules()
     os.chdir(run_cwd)
 
@@ -788,10 +812,12 @@ def run_one(kind, n_epochs, lr=None):
         use_lr = lr if lr is not None else 0.001
     elif kind == "euc_cones":
         import network.order_embeddings as mod
-        loss, alpha, use_lr = "euc_cones_loss", 0.05, 0.001
+        loss, alpha = "euc_cones_loss", 0.05
+        use_lr = lr if lr is not None else 0.001
     elif kind == "order":
         import network.order_embeddings as mod
-        loss, alpha, use_lr = "order_emb_loss", 1.0, 0.001
+        loss, alpha = "order_emb_loss", 1.0
+        use_lr = lr if lr is not None else 0.001
     else:
         raise SystemExit(f"unknown kind {kind}")
 
