@@ -314,3 +314,27 @@ def test_euc_cones_loss_is_per_driver(setup):
     emb = np.asarray(tr.node_embeddings(
         tr.params, jnp.arange(graph.n_labels)))
     assert (np.linalg.norm(emb, axis=1) >= 3.0 - 1e-4).all()
+
+
+def test_matrix_approximation_matches_reference_math():
+    """MatrixApproximation: x @ (pad(diag(d)) + u v^T) with the soft-clip
+    geometry tail (reference oe.py:141-175 — defined upstream but never
+    selected by the committed drivers; kept at parity and tested here)."""
+    from learning_embeddings_tpu.models.embedder import MatrixApproximation
+
+    rng = np.random.RandomState(0)
+    B, F, D = 5, 32, 10
+    x = rng.randn(B, F).astype(np.float32)
+    m = MatrixApproximation(dim=D, mode="euc_cone", K=3.0)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    d = np.asarray(params["params"]["diag"])
+    u = np.asarray(params["params"]["u"])
+    v = np.asarray(params["params"]["v"])
+    W = np.zeros((F, D), np.float32)
+    W[:D, :D] = np.diag(d)
+    W = W + np.outer(v, u)
+    raw = x @ W
+    n = np.linalg.norm(raw, axis=1, keepdims=True)
+    expect = raw / n * (n + 3.0)         # soft_clip norm -> norm + K
+    out = np.asarray(m.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
