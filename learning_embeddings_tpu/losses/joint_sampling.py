@@ -202,13 +202,7 @@ def make_joint_negative_sampler(
         [(label_ix >= starts[l]) & (label_ix < stops[l]) for l in range(L)])
     level_label_masks = jnp.asarray(level_label_masks)       # (L, nl)
 
-    def _categorical(key, mask):
-        """mask: (..., n) bool -> uniform index over True entries
-        (empty rows fall back to the full row)."""
-        has_any = jnp.any(mask, axis=-1, keepdims=True)
-        safe = jnp.where(has_any, mask, True)
-        return jax.random.categorical(
-            key, jnp.where(safe, 0.0, -jnp.inf), axis=-1)
+    from .margin import masked_uniform_categorical as _categorical
 
     def _label_candidates_to(u):
         """(B, nl): labels that are negative successors of u (any level)."""

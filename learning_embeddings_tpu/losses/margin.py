@@ -47,6 +47,19 @@ class NegativeSampler(NamedTuple):
     neg_to_pos_ratio: int
 
 
+def masked_uniform_categorical(key, mask):
+    """mask: (..., n) bool -> uniform index over True entries per row.
+    A row with no candidate falls back to the full row (kept total for
+    jit; the samplers' candidate sets are non-empty by construction —
+    build-time guards fail loudly otherwise). Shared by the label-only
+    and joint device samplers so the fallback semantics live in ONE
+    place."""
+    has_any = jnp.any(mask, axis=-1, keepdims=True)
+    safe = jnp.where(has_any, mask, True)
+    return jax.random.categorical(
+        key, jnp.where(safe, 0.0, -jnp.inf), axis=-1)
+
+
 def make_negative_sampler(
     negatives: np.ndarray,
     neg_to_pos_ratio: int,
@@ -81,12 +94,7 @@ def make_negative_sampler(
     else:
         pass_mask = jnp.ones((R, n), bool)
 
-    def _sample_rows(key, row_mask):
-        """row_mask: (B, R, n) bool -> (B, R) uniform category samples."""
-        has_any = jnp.any(row_mask, axis=-1, keepdims=True)
-        safe = jnp.where(has_any, row_mask, True)
-        logits = jnp.where(safe, 0.0, -jnp.inf)
-        return jax.random.categorical(key, logits, axis=-1)
+    _sample_rows = masked_uniform_categorical
 
     @jax.jit
     def sample(key, pos_from, pos_to):
