@@ -132,6 +132,7 @@ def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
     # fresh remote compile (~10 min through the axon tunnel) landing
     # inside the timed window would silently collapse the reported rate
     warmed = set()
+    loss = None
     for p in prepared[:warmup]:
         warmed.add(p[0].shape[0])
         loss, _, _ = trainer.train_prepared(p)
@@ -139,7 +140,8 @@ def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
         if p[0].shape[0] not in warmed:
             warmed.add(p[0].shape[0])
             loss, _, _ = trainer.train_prepared(p)
-    _ = float(loss)
+    if loss is not None:
+        _ = float(loss)
     t0 = time.perf_counter()
     for p in prepared[warmup:]:
         loss, e_pos, e_neg = trainer.train_prepared(p)
@@ -325,7 +327,7 @@ def main_joint_hostfed(batch_size: int = 16, steps: int = 8,
     }))
 
 
-if __name__ == "__main__":
+def _dispatch():
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "joint":
         main_joint(batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 16)
@@ -337,3 +339,39 @@ if __name__ == "__main__":
     else:
         bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
         main(batch_size=bs)
+
+
+# the axon TPU backend goes through transient multi-hour outages that
+# surface as "UNAVAILABLE: TPU backend setup/compile error" at client init,
+# before any user code runs (it ate round 3's perf capture — BENCH_r03 is a
+# traceback). A failed init poisons the in-process jax backend state, so
+# retry by re-exec'ing this script with an attempt counter in the env:
+# 3 attempts total, 12.5 min apart (outages that clear do so within ~15 min).
+_RETRIABLE = ("UNAVAILABLE", "TPU backend", "Unable to initialize backend",
+              "DEADLINE_EXCEEDED", "failed to connect")
+_MAX_ATTEMPTS = 3
+_RETRY_DELAY_S = 750
+
+
+def _run_with_outage_retry():
+    import sys
+    attempt = int(os.environ.get("LE_BENCH_ATTEMPT", "0"))
+    try:
+        _dispatch()
+    except Exception as e:  # noqa: BLE001 — filtered to init-time outages
+        msg = f"{type(e).__name__}: {e}"
+        if attempt + 1 >= _MAX_ATTEMPTS or \
+                not any(tok in msg for tok in _RETRIABLE):
+            raise
+        import traceback
+        traceback.print_exc()
+        print(f"bench: transient TPU-backend failure "
+              f"(attempt {attempt + 1}/{_MAX_ATTEMPTS}); retrying in "
+              f"{_RETRY_DELAY_S}s", file=sys.stderr, flush=True)
+        time.sleep(_RETRY_DELAY_S)
+        env = dict(os.environ, LE_BENCH_ATTEMPT=str(attempt + 1))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+if __name__ == "__main__":
+    _run_with_outage_retry()

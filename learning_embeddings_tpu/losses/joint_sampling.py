@@ -372,11 +372,22 @@ def sample_joint_negatives_np(
     *,
     pick_per_level: bool = True,
     levels_to_hide=(),
+    empty_image_complement: str = "raise",
 ):
     """Host-side mirror of make_joint_negative_sampler (same candidate
     sets, numpy RNG) — used by the end-to-end CNN joint trainer, whose
     image pixels must be gathered on host before the jitted step, and as
-    an oracle for testing the device sampler."""
+    an oracle for testing the device sampler.
+
+    empty_image_complement: what to do when a label is an ancestor of
+    EVERY image in `graph` (the image-level pass has no candidates for
+    it). 'raise' matches the device sampler's build-time failure — right
+    for TRAIN graphs, where the caller can hide the level or drop
+    pick_per_level. 'widen' falls back to the label candidate set for
+    that draw (the unrestricted pass restricted to its non-empty half) —
+    right for EVAL splits / subsamples, whose composition the trainer
+    config cannot fix (a tiny split where one label covers every image
+    must still produce a metric)."""
     nl, ni, L = graph.n_labels, graph.n_images, graph.n_levels
     R = int(neg_to_pos_ratio)
     B = len(pos_from)
@@ -418,16 +429,21 @@ def sample_joint_negatives_np(
         return order_l, lo, hi - lo
 
     def image_not_descended(u):
+        """Uniform image row not descended from u, or None when no image
+        qualifies and the caller asked to widen (see docstring)."""
         order_l, start, cnt = _run_range(u)
         n_compl = ni - cnt
         if n_compl <= 0:
+            if empty_image_complement == "widen":
+                return None
             # no image is a valid negative for u — match the device
             # sampler's build-time failure (and the reference's crash on
             # an empty candidate set) instead of corrupting the loss
             raise ValueError(
-                f"label {u} is an ancestor of every train image — no "
-                "negative-image candidates (hide its level or drop "
-                "pick_per_level)")
+                f"label {u} is an ancestor of every image in this graph — "
+                "no negative-image candidates (train graph: hide its level "
+                "or drop pick_per_level; eval split/subsample: pass "
+                "empty_image_complement='widen')")
         j = int(rng.randint(n_compl))
         if j >= start:
             j += cnt
@@ -461,8 +477,9 @@ def sample_joint_negatives_np(
                 c = choice(m)
             else:
                 # anchor-based type rule (see make_joint_negative_sampler)
-                c = (choice(label_cands_to(u)) if u >= nl
-                     else nl + image_not_descended(u))
+                row = None if u >= nl else image_not_descended(u)
+                c = (choice(label_cands_to(u)) if row is None
+                     else nl + row)
             neg_from[2 * R * i + r] = u
             neg_to[2 * R * i + r] = c
             # corrupt 'from' given v

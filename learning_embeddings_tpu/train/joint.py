@@ -142,9 +142,12 @@ def joint_edge_metrics(label_emb, image_emb, img_paths_global, graph,
     pos_from = paths.reshape(-1)
     pos_to = (nl + np.repeat(np.arange(n_img), L)).astype(np.int32)
     rng = np.random.RandomState(seed)
+    # widen: this graph is a val/test split (or an --eval_max_images
+    # subsample) — a label covering every image of a small split must
+    # yield a metric, not crash a long run mid-eval
     neg_from, neg_to = sample_joint_negatives_np(
         split_graph, neg_to_pos_ratio, rng, pos_from, pos_to,
-        pick_per_level=pick_per_level)
+        pick_per_level=pick_per_level, empty_image_complement="widen")
 
     lab = jnp.asarray(label_emb)
     img = jnp.asarray(image_emb)

@@ -140,9 +140,12 @@ class JointCNNTrainer:
         self._step = self._build_step()
         self._rng = np.random.RandomState(cfg.seed)
         self.optimal_threshold = None
+        # no explicit curriculum: a plain levels_to_hide config is a
+        # single-stage "curriculum" (train_epoch re-applies the stage every
+        # epoch, so defaulting to {0: ()} would silently reset it)
         self.curriculum = (cfg.curriculum if cfg.curriculum is not None
                            else (DEFAULT_CURRICULUM if cfg.hide_levels
-                                 else {0: ()}))
+                                 else {0: tuple(cfg.levels_to_hide)}))
 
     def _make_optimizer(self):
         cfg = self.cfg

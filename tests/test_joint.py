@@ -338,3 +338,43 @@ def test_matrix_approximation_matches_reference_math():
     expect = raw / n * (n + 3.0)         # soft_clip norm -> norm + K
     out = np.asarray(m.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_eval_split_empty_image_complement_widens():
+    """A skewed eval split where one label is an ancestor of EVERY image
+    must still produce edge metrics (the train-graph behavior is to fail
+    loudly; joint_edge_metrics passes empty_image_complement='widen' —
+    r3 advisor finding)."""
+    from learning_embeddings_tpu.losses.joint_sampling import (
+        sample_joint_negatives_np)
+    from learning_embeddings_tpu.train.joint import joint_edge_metrics
+
+    lm = toy_labelmap(branching=2, n_levels=2)   # 2 + 4 labels
+    # every image under leaf 0: its ancestors cover the whole split
+    ll = lm.leaf_paths()[np.zeros(5, np.int64)]
+    graph, _ = build_joint_graph(lm, ll)
+    paths = graph.image_paths_global
+    nl = graph.n_labels
+    pos_from = paths.reshape(-1)
+    pos_to = (nl + np.repeat(np.arange(len(paths)), paths.shape[1])
+              ).astype(np.int32)
+
+    # ratio 3: the per-level pass cycle (levels 0, 1, images) reaches the
+    # image-level draw, whose complement is empty for leaf 0's ancestors
+    with pytest.raises(ValueError, match="ancestor of every image"):
+        sample_joint_negatives_np(graph, 3, np.random.RandomState(0),
+                                  pos_from, pos_to, pick_per_level=True)
+    nf, nt = sample_joint_negatives_np(
+        graph, 3, np.random.RandomState(0), pos_from, pos_to,
+        pick_per_level=True, empty_image_complement="widen")
+    # widened draws are still true negatives
+    assert not graph.positive_mask(nf, nt).any()
+
+    # and the eval pass itself runs end-to-end on the skewed split
+    rng = np.random.RandomState(1)
+    lab = rng.randn(nl, 4).astype(np.float32) * 0.1
+    img = rng.randn(len(paths), 4).astype(np.float32) * 0.1
+    m = joint_edge_metrics(lab, img, paths, graph, energy="hyp_cone",
+                           neg_to_pos_ratio=3, pick_per_level=True,
+                           seed=0, K=0.1)
+    assert np.isfinite(float(m.f1))

@@ -382,3 +382,17 @@ def test_use_cnn_cli_load_emb_from(tmp_path):
     got = [p for p in jax.tree_util.tree_leaves(
         r["trainer"].params["labels"]) if p.shape == table.shape][0]
     np.testing.assert_allclose(np.asarray(got), table, rtol=1e-6)
+
+
+def test_explicit_levels_to_hide_survives_train_epoch(setup):
+    """JointCNNConfig(levels_to_hide=...) without hide_levels/curriculum
+    is a single-stage curriculum — train_epoch's per-epoch stage switch
+    must not silently reset it to () (r3 advisor finding)."""
+    lm, graph, train_edges, loader, leaves = setup
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, batch_size=8,
+                         neg_to_pos_ratio=2, seed=0, levels_to_hide=(0,))
+    tr = JointCNNTrainer(lm, graph, train_edges, loader, cfg)
+    assert tr.levels_for_epoch(0) == (0,)
+    tr.train_epoch(0, np.random.RandomState(0))
+    assert tuple(tr.cfg.levels_to_hide) == (0,)
