@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bn_stats_rows", type=int, default=0,
                         help=">0: ghost-batch BN statistics over the first "
                              "N rows (approximate, faster).")
+    parser.add_argument("--bn_stats_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="dtype of the train-mode BN stat sweeps (and "
+                             "their gradients); bfloat16 halves the "
+                             "reduction precision (measured experiment — "
+                             "see BASELINE.md).")
     parser.add_argument("--generate_plots", action="store_true",
                         help="PR curves + F1-vs-frequency plots on the "
                              "final test pass")
@@ -106,6 +112,7 @@ def main(args=None):
         head_override="bottleneck2d" if args.use_2d else None,
         freeze_bn=args.freeze_bn,
         bn_stats_rows=args.bn_stats_rows,
+        bn_stats_dtype=args.bn_stats_dtype,
         spatial_partition=args.spatial_partition,
         grad_accum=args.grad_accum,
     )

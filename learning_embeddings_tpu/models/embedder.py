@@ -137,6 +137,8 @@ class FeatCNN(nn.Module):
     K: Optional[float] = None
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False   # rematerialize trunk blocks (memory vs FLOPs)
+    bn_stats_dtype: str = "float32"  # 'bfloat16' = half-precision BN stat
+    #   sweeps in the trunk (see resnet.GhostBatchNorm.stats_dtype)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -144,7 +146,8 @@ class FeatCNN(nn.Module):
 
         trunk = BACKBONES[self.backbone](
             num_classes=None, features_only=True, dtype=self.dtype,
-            remat=self.remat, name="trunk")
+            remat=self.remat, bn_stats_dtype=self.bn_stats_dtype,
+            name="trunk")
         feats = trunk(images, train=train)
         x = nn.Dense(self.dim, name="fc")(feats)
         return geometry_map(x, self.mode, self.K)

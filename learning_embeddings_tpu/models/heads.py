@@ -45,6 +45,7 @@ class HierarchicalCNN(nn.Module):
     stem: str = "conv7"
     bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
     bn_impl: str = "flax"    # 'pallas' = fused-reduction BN (ops.bn_pallas)
+    bn_stats_dtype: str = "float32"  # 'bfloat16' = half-precision stat sweeps
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture_bottleneck: bool = False):
@@ -53,6 +54,7 @@ class HierarchicalCNN(nn.Module):
             num_classes=None, dtype=self.dtype, features_only=True,
             remat=self.remat, stem=self.stem,
             bn_stats_rows=self.bn_stats_rows, bn_impl=self.bn_impl,
+            bn_stats_dtype=self.bn_stats_dtype,
             name="trunk")
         feats = trunk(x, train=train)                     # (B, F) f32
 

@@ -62,6 +62,12 @@ class GhostBatchNorm(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     stats_rows: int = 8
+    #: dtype of the train-mode mean/var sweeps (and, through autodiff,
+    #: their gradient sweeps). float32 = exact nn.BatchNorm semantics;
+    #: bfloat16 halves the reduction's accumulator/intermediate precision —
+    #: a measured experiment for the convert_reduce slice (BASELINE.md r2
+    #: trace: ~47-52% of the BN-train step). Running stats stay f32.
+    stats_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -79,10 +85,12 @@ class GhostBatchNorm(nn.Module):
         else:
             rows = (min(self.stats_rows, x.shape[0]) if self.stats_rows > 0
                     else x.shape[0])  # <=0: full batch (folded-normalize BN)
-            xs = x[:rows].astype(jnp.float32)
+            xs = x[:rows].astype(self.stats_dtype)
             axes = tuple(range(xs.ndim - 1))
-            mean = jnp.mean(xs, axes)
-            var = jnp.maximum(jnp.mean(xs * xs, axes) - mean * mean, 0.0)
+            mean = jnp.mean(xs, axes).astype(jnp.float32)
+            var = jnp.maximum(
+                jnp.mean(xs * xs, axes).astype(jnp.float32) - mean * mean,
+                0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
@@ -174,6 +182,9 @@ class ResNet(nn.Module):
     #: 'flax' | 'pallas' — pallas = fused-reduction train-mode BN
     #: (ops.bn_pallas; exact same math, single-read statistics)
     bn_impl: str = "flax"
+    #: dtype of the train-mode BN stat sweeps ('float32' = exact flax BN;
+    #: 'bfloat16' = half-precision reductions — see GhostBatchNorm)
+    bn_stats_dtype: str = "float32"
 
     @property
     def feature_dim(self) -> int:
@@ -182,11 +193,12 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.bn_stats_rows:
+        if self.bn_stats_rows or self.bn_stats_dtype != "float32":
             norm = functools.partial(
                 GhostBatchNorm, use_running_average=not train, momentum=0.9,
                 epsilon=1e-5, dtype=self.dtype,
-                stats_rows=self.bn_stats_rows)
+                stats_rows=self.bn_stats_rows or -1,
+                stats_dtype=jnp.dtype(self.bn_stats_dtype))
         elif self.bn_impl == "pallas":
             from ..ops import PallasBatchNorm
 
@@ -283,6 +295,7 @@ class AlexNet(nn.Module):
     stem: str = "conv7"   # accepted for API uniformity; unused
     bn_stats_rows: int = 0  # accepted for API uniformity; no BN in alexnet
     bn_impl: str = "flax"
+    bn_stats_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -319,16 +332,18 @@ class VGG11BN(nn.Module):
     stem: str = "conv7"   # accepted for API uniformity; unused
     bn_stats_rows: int = 0
     bn_impl: str = "flax"
+    bn_stats_dtype: str = "float32"
 
     CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.bn_stats_rows:
+        if self.bn_stats_rows or self.bn_stats_dtype != "float32":
             norm = functools.partial(
                 GhostBatchNorm, use_running_average=not train, momentum=0.9,
                 epsilon=1e-5, dtype=self.dtype,
-                stats_rows=self.bn_stats_rows)
+                stats_rows=self.bn_stats_rows or -1,
+                stats_dtype=jnp.dtype(self.bn_stats_dtype))
         else:
             norm = functools.partial(
                 nn.BatchNorm, use_running_average=not train, momentum=0.9,

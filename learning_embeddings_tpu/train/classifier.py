@@ -87,6 +87,8 @@ class ClassifierConfig:
     #                          skips the BN stat/stat-grad reduction sweeps)
     bn_stats_rows: int = 0   # >0: ghost-batch BN statistics (GhostBatchNorm)
     bn_impl: str = "flax"    # 'pallas' = fused-reduction train-mode BN
+    bn_stats_dtype: str = "float32"  # 'bfloat16' = half-precision BN stat
+    #   sweeps (and their gradients) — running stats/normalize stay f32-folded
     grad_accum: int = 1  # accumulate gradients over N micro-batches before
     #   each optimizer update (optax.MultiSteps) — effective batch
     #   N × batch_size without the activation memory; a scaling capability
@@ -155,6 +157,7 @@ class ClassifierTrainer:
             stem=cfg.stem,
             bn_stats_rows=cfg.bn_stats_rows,
             bn_impl=cfg.bn_impl,
+            bn_stats_dtype=cfg.bn_stats_dtype,
         )
         self.criterion = make_criterion(labelmap, cfg)
         self.n_channels = 1 if grayscale else 3

@@ -68,6 +68,8 @@ class JointCNNConfig:
     K: Optional[float] = None
     tower_dtype: str = "bfloat16"  # compute dtype of the CNN tower (MXU
     #   wants bf16; float32 for exact-parity testing)
+    bn_stats_dtype: str = "float32"  # 'bfloat16' = half-precision BN stat
+    #   sweeps in the tower (see resnet.GhostBatchNorm.stats_dtype)
     pixel_bucket: Optional[int] = None  # unique-image pad granularity (one
     #   jit compile per bucket); default = batch_size. Raise it when
     #   compiles are expensive (e.g. remote TPU) to collapse the bucket set
@@ -124,7 +126,8 @@ class JointCNNTrainer:
         self.featcnn = FeatCNN(backbone=cfg.backbone, dim=cfg.embedding_dim,
                                mode=mode, K=self.K,
                                dtype=jnp.dtype(cfg.tower_dtype),
-                               remat=cfg.remat)
+                               remat=cfg.remat,
+                               bn_stats_dtype=cfg.bn_stats_dtype)
         key = jax.random.PRNGKey(cfg.seed)
         k1, k2 = jax.random.split(key)
         img_vars = self.featcnn.init(

@@ -152,3 +152,43 @@ def test_classifier_with_pallas_bn_matches_flax_bn():
     _, l1b = tr_flax.train_step(s1, *tr_flax.put_batch(imgs, ll, mh))
     _, l2b = tr_pal.train_step(s2, *tr_pal.put_batch(imgs, ll, mh))
     assert abs(float(l1b) - float(l2b)) < 2e-3
+
+
+def test_bf16_stats_bn_close_to_exact_and_trains():
+    """bn_stats_dtype='bfloat16' (half-precision BN stat sweeps): values
+    and updated running stats track exact f32 BN within bf16 tolerance on
+    a moderate batch, and a classifier step runs finite end-to-end."""
+    from learning_embeddings_tpu.models.resnet import GhostBatchNorm
+
+    x = (1.5 + 0.5 * RNG.randn(8, 14, 14, 16)).astype(np.float32)
+    ref, ref_stats = _flax_bn_apply(x, np.ones(16), np.zeros(16))
+
+    m = GhostBatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-5, dtype=jnp.float32, stats_rows=-1,
+                       stats_dtype=jnp.bfloat16)
+    variables = {"params": {"scale": jnp.ones(16), "bias": jnp.zeros(16)},
+                 "batch_stats": {"mean": jnp.zeros(16), "var": jnp.ones(16)}}
+    out, stats = m.apply(variables, jnp.asarray(x), mutable=["batch_stats"])
+    # bf16 reductions: ~8 mantissa bits => percent-level agreement
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(stats["batch_stats"]["mean"]),
+        np.asarray(ref_stats["batch_stats"]["mean"]), rtol=0.05, atol=0.02)
+    # running stats are stored f32
+    assert stats["batch_stats"]["mean"].dtype == jnp.float32
+
+    from learning_embeddings_tpu.hierarchy import toy_labelmap
+    from learning_embeddings_tpu.train.classifier import (ClassifierConfig,
+                                                          ClassifierTrainer)
+
+    lm = toy_labelmap(branching=2, n_levels=2)
+    cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                           lr=1e-3, image_size=32, batch_size=4, seed=0,
+                           bn_stats_dtype="bfloat16")
+    tr = ClassifierTrainer(lm, cfg, mesh=None)
+    images = RNG.rand(4, 32, 32, 3).astype(np.float32)
+    ll = lm.leaf_paths()[RNG.randint(0, lm.levels[-1], 4)].astype(np.int32)
+    mh = np.zeros((4, lm.n_classes), np.float32)
+    state, loss = tr.train_step(tr.state, *tr.put_batch(images, ll, mh))
+    assert np.isfinite(float(loss))
