@@ -389,8 +389,31 @@ class JointEmbeddingTrainer:
             self.params["labels"], jnp.arange(self.graph.n_labels))
 
     def image_embeddings(self, features=None):
+        """FeatNet embeddings of fc7 rows. On a mesh the eval batch shards
+        over 'data' like the train step (the reference's eval forward runs
+        through the same DataParallel-wrapped net as training,
+        oe_h.py:1434-1439, 2018-2053); ragged row counts pad to the shard
+        count and the padding is dropped."""
         feats = self.features if features is None else jnp.asarray(features)
-        return self.featnet.apply(self.params["images"], feats)
+        if self.mesh is None:
+            return self.featnet.apply(self.params["images"], feats)
+        if not hasattr(self, "_embed_jit"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = jax.tree_util.tree_map(
+                lambda _: NamedSharding(self.mesh, P()),
+                self.params["images"])
+            self._embed_jit = jax.jit(
+                self.featnet.apply,
+                in_shardings=(rep, NamedSharding(self.mesh, P("data"))))
+        n = feats.shape[0]
+        q = self.mesh.shape["data"]
+        pad = (-n) % q
+        if pad:
+            feats = jnp.concatenate(
+                [feats, jnp.broadcast_to(feats[-1:],
+                                         (pad,) + feats.shape[1:])])
+        return self._embed_jit(self.params["images"], feats)[:n]
 
     def classification_metrics(self, img_paths_global=None, features=None,
                                ks=(1, 3, 5)):

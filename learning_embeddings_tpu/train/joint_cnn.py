@@ -395,9 +395,15 @@ class JointCNNTrainer:
     # ------------------------------------------------------------------
     def image_embeddings_for_rows(self, rows, loader=None,
                                   batch_size: int = 32) -> np.ndarray:
-        """Embed arbitrary image rows through the CNN tower in batches."""
+        """Embed arbitrary image rows through the CNN tower in batches.
+        On a mesh each chunk shards over 'data' (see
+        image_embeddings_from_pixels), so the chunk size rounds up to a
+        multiple of the data-shard count."""
         loader = loader or self.pixel_loader
         rows = np.asarray(rows)
+        if self.mesh is not None:
+            q = self.mesh.shape["data"]
+            batch_size = -(-batch_size // q) * q
         out = []
         for i in range(0, len(rows), batch_size):
             chunk = rows[i:i + batch_size]
@@ -443,10 +449,28 @@ class JointCNNTrainer:
             energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
 
     def image_embeddings_from_pixels(self, pixels):
+        """Eval forward of the CNN tower. On a mesh the pixel batch shards
+        over 'data' with params/stats replicated — the reference's eval
+        loop drives the same DataParallel-wrapped tower as training
+        (oe_h.py:1434-1439, 2018-2053); a single-device eval would idle
+        every other chip each eval interval."""
         if not hasattr(self, "_embed_jit"):
-            self._embed_jit = jax.jit(lambda p, s, px: self.featcnn.apply(
-                {"params": p, "batch_stats": s}, device_scale(px),
-                train=False))
+            def fn(p, s, px):
+                return self.featcnn.apply(
+                    {"params": p, "batch_stats": s}, device_scale(px),
+                    train=False)
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                rep_tree = lambda t: jax.tree_util.tree_map(lambda _: rep, t)
+                self._embed_jit = jax.jit(fn, in_shardings=(
+                    rep_tree(self.params["images"]),
+                    rep_tree(self.batch_stats),
+                    NamedSharding(self.mesh, P("data", None, None, None))))
+            else:
+                self._embed_jit = jax.jit(fn)
         return self._embed_jit(self.params["images"], self.batch_stats,
                                jnp.asarray(pixels))
 

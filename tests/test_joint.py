@@ -378,3 +378,23 @@ def test_eval_split_empty_image_complement_widens():
                            neg_to_pos_ratio=3, pick_per_level=True,
                            seed=0, K=0.1)
     assert np.isfinite(float(m.f1))
+
+
+def test_meshed_fc7_eval_embeddings_match_single(setup):
+    """Meshed fc7 eval (feature batch sharded over 'data') reproduces the
+    single-device FeatNet embeddings on a ragged row count."""
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+
+    lm, graph, train_edges, feats, leaves = setup
+    cfg = JointTrainerConfig(energy="hyp_cone", embedding_dim=4,
+                             feature_dim=feats.shape[1], batch_size=8,
+                             neg_to_pos_ratio=2, seed=0)
+    tr_m = JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg,
+                                 mesh=make_mesh(n_data=8, n_model=1))
+    tr_s = JointEmbeddingTrainer(lm, graph, train_edges, feats, cfg,
+                                 mesh=None)
+    sub = np.asarray(feats)[:11]   # ragged vs the 8 data shards
+    em = np.asarray(tr_m.image_embeddings(sub))
+    es = np.asarray(tr_s.image_embeddings(sub))
+    assert em.shape == es.shape == (11, 4)
+    np.testing.assert_allclose(em, es, rtol=1e-5, atol=1e-6)

@@ -396,3 +396,23 @@ def test_explicit_levels_to_hide_survives_train_epoch(setup):
     assert tr.levels_for_epoch(0) == (0,)
     tr.train_epoch(0, np.random.RandomState(0))
     assert tuple(tr.cfg.levels_to_hide) == (0,)
+
+
+def test_meshed_eval_embeddings_match_single(setup):
+    """Meshed eval (tower batch sharded over 'data') must reproduce the
+    single-device eval embeddings — including a ragged row count that
+    forces the chunk-size round-up + tail padding."""
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+
+    lm, graph, train_edges, loader, leaves = setup
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, batch_size=8,
+                         neg_to_pos_ratio=2, seed=0, tower_dtype="float32")
+    tr_m = JointCNNTrainer(lm, graph, train_edges, loader, cfg,
+                           mesh=make_mesh(n_data=8, n_model=1))
+    tr_s = JointCNNTrainer(lm, graph, train_edges, loader, cfg, mesh=None)
+    rows = np.arange(13)   # ragged vs batch_size AND vs the 8 data shards
+    em = tr_m.image_embeddings_for_rows(rows, batch_size=6)
+    es = tr_s.image_embeddings_for_rows(rows, batch_size=6)
+    assert em.shape == es.shape == (13, 4)
+    np.testing.assert_allclose(em, es, rtol=1e-5, atol=1e-6)

@@ -94,12 +94,30 @@ class ToTensor:
         return torch.from_numpy(arr.transpose(2, 0, 1).copy())
 
 
+class RandomCrop:
+    """torchvision RandomCrop((h, w)), no padding: uniform top-left
+    (the classifier train transform, ethec_experiments.py:263-265)."""
+
+    def __init__(self, size):
+        self.size = size if isinstance(size, (tuple, list)) else (size, size)
+
+    def __call__(self, img):
+        th, tw = self.size
+        w, h = img.size
+        if (h, w) == (th, tw):
+            return img
+        top = random.randint(0, h - th)
+        left = random.randint(0, w - tw)
+        return img.crop((left, top, left + tw, top + th))
+
+
 class _Transforms:
     Compose = Compose
     ToPILImage = ToPILImage
     Resize = Resize
     RandomHorizontalFlip = RandomHorizontalFlip
     ToTensor = ToTensor
+    RandomCrop = RandomCrop
 
     def __getattr__(self, name):
         return _AnyCallable

@@ -789,6 +789,187 @@ def run_rebuild_joint_cnn(n_epochs, lr=0.01):
     return flat
 
 
+# ----------------------------------------------------------- classifier A/B
+def _install_cnn_db_butterfly():
+    """The debug classifier driver hard-codes
+    ../database/butterfly200/{split}.json for ALL its branches
+    (ethec_experiments.py:315-323) — point those at the CNN sandbox jsons;
+    returns a restore() handle (the hyp-cones label A/B owns that dir)."""
+    db_dir = os.path.join(AB_ROOT, "database", "butterfly200")
+    os.makedirs(db_dir, exist_ok=True)
+    jdir_m = os.path.join(AB_ROOT, "database", "ETHEC_cnn")
+    saved = {}
+    for split in ("train", "val", "test"):
+        full = os.path.join(db_dir, f"{split}.json")
+        if os.path.exists(full):
+            with open(full) as f:
+                saved[split] = f.read()
+        with open(os.path.join(jdir_m, f"{split}.json")) as f:
+            blob = f.read()
+        with open(full, "w") as f:
+            f.write(blob)
+
+    def restore():
+        for split, blob in saved.items():
+            with open(os.path.join(db_dir, f"{split}.json"), "w") as f:
+                f.write(blob)
+
+    return restore
+
+
+def _ref_level_metrics_from_npy(npy_dir):
+    """Per-level metrics of the reference's final best-model test pass,
+    computed by the REFERENCE'S OWN evaluator (MultiLevelEvaluation →
+    MetricsMultiLevel) over the predicted_scores/correct_labels dumps
+    load_best_model writes (finetuner.py:263-265; experiment.py:217-224).
+    phase='train' skips the Summarize file-writing branch — the math is
+    identical (evaluation.py:560-601)."""
+    import numpy as np
+    from data.db import ETHECLabelMapMergedSmall
+    from network.evaluation import MultiLevelEvaluation
+
+    lm = ETHECLabelMapMergedSmall()
+    ev = MultiLevelEvaluation(os.path.join(AB_ROOT, "tmp_eval"), lm)
+    ps = np.load(os.path.join(npy_dir, "predicted_scores.npy"))
+    cl = np.load(os.path.join(npy_dir, "correct_labels.npy"))
+    glob, level_wise = ev.evaluate(ps, cl, epoch=0, phase="train",
+                                   save_to_tensorboard=True,
+                                   samples_split=None)
+    out = {"test_micro_f1": float(glob["micro"]["f1"]),
+           "test_macro_f1": float(glob["macro"]["f1"]),
+           "test_accuracy": float(glob["accuracy_score"])}
+    for name, m in level_wise.items():
+        out[f"test_{name}_micro_f1"] = float(m["micro"]["f1"])
+        out[f"test_{name}_macro_f1"] = float(m["macro"]["f1"])
+    return out
+
+
+def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001):
+    """A/B the reference's multi-head CNN classifier — the LAST family
+    never run upstream: ETHEC_train_model --debug
+    (ethec_experiments.py:243-434), the real CIFAR10/ETHECExperiment
+    trainer (finetuner.py:199-307) with MultiLevelEvaluation
+    (evaluation.py:555-660), resnet18 @448 (input size hard-coded,
+    ethec_experiments.py:256-257), adam, WeightedResampler (inv), on the
+    12-species debug taxonomy with the SAME separable JPEGs as the
+    --use_CNN A/B (setup_cnn_sandbox). loss ∈ {multi_level, masked_loss,
+    last_level, hsoftmax, multi_label}. Both sides random-init (no
+    torchvision weights offline — stub prints the notice)."""
+    setup_cnn_sandbox()
+    setup_modules()
+    os.chdir(os.path.join(AB_ROOT, "run"))
+
+    import data.db as dbmod
+
+    def _small_init(self, path_to_json, single_level=False):
+        lmap = dbmod.ETHECLabelMapMergedSmall(single_level)
+        self.path_to_json = path_to_json
+        with open(path_to_json) as json_file:
+            self.data_dict = json.load(json_file)
+        self.data_tokens = [
+            tok for tok in self.data_dict
+            if self.data_dict[tok]["specific_epithet"]
+            in lmap.genus_specific_epithet]
+
+    dbmod.ETHECSmall.__init__ = _small_init
+
+    import network.ethec_experiments as mod
+
+    name = f"classifier_{loss}_ep{n_epochs}_lr{lr}"
+    args = argparse.Namespace(
+        debug=True, lr=lr, batch_size=10, evaluator="ML",
+        experiment_name=name, experiment_dir=AB_ROOT + "/",
+        image_dir=os.path.join(AB_ROOT, "images_cnn"),
+        n_epochs=n_epochs, n_workers=0, eval_interval=5,
+        resume=False, optimizer_method="adam", merged=True,
+        model="resnet18", loss=loss, use_grayscale=False,
+        class_weights=False, weight_strategy="inv",
+        freeze_weights=False, set_mode="train", level_weights=None,
+        lr_step=[], use_2d=False)
+
+    restore = _install_cnn_db_butterfly()
+    log_path = os.path.join(AB_ROOT, f"{name}.log")
+    t0 = time.time()
+    log_f = open(log_path, "w")
+    old_out, old_err = sys.stdout, sys.stderr
+    sys.stdout = Tee(old_out, log_f)
+    sys.stderr = Tee(old_err, log_f)
+    status = "ok"
+    try:
+        mod.ETHEC_train_model(args)
+    except Exception as e:
+        import traceback
+
+        status = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+        print(f"== driver raised after/while training: {status}")
+    finally:
+        sys.stdout, sys.stderr = old_out, old_err
+        log_f.close()
+        restore()
+
+    with open(log_path) as f:
+        log_text = f.read()
+    results = {}
+    m = re.findall(r"Best val score: ([0-9.]+)", log_text)
+    if m:
+        results["best_val_micro_f1"] = float(m[-1])
+    try:
+        results.update(_ref_level_metrics_from_npy(
+            os.path.join(AB_ROOT, name)))
+    except Exception as e:
+        results["level_metrics_error"] = repr(e)[:200]
+    results.update(status=status, wall_s=round(time.time() - t0, 1),
+                   kind="classifier_ref", loss=loss, lr=lr,
+                   n_epochs=n_epochs)
+    res_path = os.path.join(AB_ROOT, "results.json")
+    blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
+    blob[name] = results
+    with open(res_path, "w") as f:
+        json.dump(blob, f, indent=2)
+    print(f"== {name}: {results}")
+    return results
+
+
+def run_rebuild_classifier(n_epochs, loss="multi_level", lr=0.001):
+    """The rebuild's classifier CLI (cli/ethec_experiments.py) on the
+    IDENTICAL sandbox: same 12-species splits (raw-epithet jsons — the
+    rebuild derives the taxonomy from records), the same JPEG files,
+    matched hyperparameters (resnet18 @448, bs 10, adam, WeightedResampler
+    inv — the reference's class_weights=False path). Reports the same
+    per-level m-F1 axes from its own MLEVAL evaluator."""
+    jdir_m, jdir_r, img_dir = setup_cnn_sandbox()
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, REPO)
+
+    from learning_embeddings_tpu.cli.ethec_experiments import main as cls_main
+
+    name = f"rebuild_classifier_{loss}_ep{n_epochs}_lr{lr}"
+    t0 = time.time()
+    res = cls_main([
+        "--set_mode", "train", "--loss", loss,
+        "--data_dir", jdir_r, "--image_dir", img_dir,
+        "--model", "resnet18", "--image_size", "448",
+        "--batch_size", "10", "--lr", str(lr),
+        "--n_epochs", str(n_epochs), "--eval_interval", "5",
+        "--experiment_dir", AB_ROOT, "--experiment_name", name,
+        "--merged"])
+    flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+    flat.update({f"test_{k.replace('/', '_')}": v
+                 for k, v in res["test_metrics"].items()})
+    flat.update(wall_s=round(time.time() - t0, 1),
+                kind="rebuild_classifier", loss=loss, lr=lr,
+                n_epochs=n_epochs)
+    res_path = os.path.join(AB_ROOT, "results.json")
+    blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
+    blob[name] = flat
+    with open(res_path, "w") as f:
+        json.dump(blob, f, indent=2)
+    print(f"== {name}: {flat}")
+    return flat
+
+
 def run_one(kind, n_epochs, lr=None):
     """kind: order | euc_cones (order_embeddings.py, adam)
              hyp_cones (order_embeddings_h.py, manual RSGD update)."""
@@ -880,6 +1061,15 @@ if __name__ == "__main__":
         sys.exit(0)
     if kind == "rebuild_joint_cnn":
         run_rebuild_joint_cnn(n_epochs, lr if lr is not None else 0.01)
+        sys.exit(0)
+    if kind.startswith("classifier_") or kind.startswith(
+            "rebuild_classifier_"):
+        # classifier_<loss> / rebuild_classifier_<loss>,
+        # loss ∈ {multi_level, masked_loss, last_level, hsoftmax}
+        loss = kind.split("classifier_", 1)[1]
+        fn = (run_rebuild_classifier if kind.startswith("rebuild_")
+              else run_classifier_ref)
+        fn(n_epochs, loss=loss, lr=lr if lr is not None else 0.001)
         sys.exit(0)
     if kind == "all":
         # separate processes: the reference modules seed global RNGs and
