@@ -13,8 +13,13 @@ pixels at PCIe rates, so device-resident banks measure the honest device
 capability — same rationale as bench.py). The pixel_loader is a device
 gather, so `prepare_batch` ships only index arrays.
 
-Run:  python tools/quality_cnn_flagship.py [n_epochs] [n_per_leaf]
+Run:  python tools/quality_cnn_flagship.py [n_epochs] [n_per_leaf] [warm_ckpt]
       (cwd /root/repo for the axon TPU plugin; ~1-2 h at defaults)
+
+warm_ckpt: optional path to a label-embedding checkpoint (weights/<name>)
+whose table + calibrated threshold warm-start the label side — the
+reference's own remedy for hard cone optimization (--load_emb_from,
+oe_h.py:1435-1436). Adds '_warm' to the result key.
 """
 
 import json
@@ -41,6 +46,7 @@ OUT = os.path.join(EXP_DIR, "results.json")
 
 N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 N_PER_LEAF = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+WARM_CKPT = sys.argv[3] if len(sys.argv) > 3 else None
 # env overrides for a CPU smoke (LE_Q3_SIZE=32 LE_Q3_BACKBONE=resnet18
 # PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/quality_cnn_flagship.py 1 1)
 SIZE = int(os.environ.get("LE_Q3_SIZE", 448))
@@ -49,7 +55,8 @@ BACKBONE = os.environ.get("LE_Q3_BACKBONE", "resnet50")
 # different images/leaf count must not clobber a converged flagship record
 NAME = (f"joint_cnn_flagship_{N_EPOCHS}ep_{N_PER_LEAF}perleaf"
         + ("" if (SIZE, BACKBONE) == (448, "resnet50")
-           else f"_{BACKBONE}{SIZE}"))
+           else f"_{BACKBONE}{SIZE}")
+        + ("_warm" if WARM_CKPT else ""))
 
 t0 = time.time()
 lm = _ethec_labelmap()
@@ -113,14 +120,36 @@ cfg = JointCNNConfig(
     #   it matches the verbatim schedule at convergence)
     seed=0, pixel_bucket=64, inflight_steps=2, remat=True)
 
+init_embeddings, init_threshold = None, None
+if WARM_CKPT:
+    # label-table warm start from a label-only run's checkpoint
+    # (the reference workflow: train labels alone, then --load_emb_from
+    # into the joint run, oe_h.py:1435-1436)
+    from learning_embeddings_tpu.train.experiment import (Checkpointer,
+                                                          ExperimentDir)
+
+    wdir, wname = os.path.split(os.path.abspath(WARM_CKPT))
+    exp_root, exp_name = os.path.split(os.path.dirname(wdir))
+    payload = Checkpointer(ExperimentDir(exp_root, exp_name)).load_raw(wname)
+    table = [np.asarray(p) for p in jax.tree_util.tree_leaves(
+        payload["params"]) if getattr(p, "ndim", 0) == 2]
+    assert len(table) == 1, [t.shape for t in table]
+    init_embeddings = table[0]
+    thr = float(payload.get("optimal_threshold", float("nan")))
+    init_threshold = None if np.isnan(thr) else thr
+    print(f"warm start: table {init_embeddings.shape} from {WARM_CKPT}, "
+          f"threshold={init_threshold}", flush=True)
+
 res = run_joint_cnn(
     lm, graph, train_edges, device_loader(banks["train"]), cfg,
     experiment_dir=EXP_DIR, experiment_name=NAME,
     n_epochs=N_EPOCHS, eval_interval=4,
     eval_sets={s: (eval_paths, device_loader(banks[s]))
                for s in ("val", "test")},
+    init_embeddings=init_embeddings, init_threshold=init_threshold,
     manifest_args={"loss": "hyp_cones_loss", "use_CNN": "True",
-                   "hide_levels": "True", "half_half": "True"})
+                   "hide_levels": "True", "half_half": "True",
+                   "load_emb_from": str(WARM_CKPT)})
 
 flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
 flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
