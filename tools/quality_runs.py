@@ -24,14 +24,17 @@ import numpy as np
 
 EXP_DIR = "experiments/quality_r2"
 OUT = os.path.join(EXP_DIR, "results.json")
-results = {}
 
 
 def record(name, res, t0):
+    # merge into the ON-DISK record: a later partial run rewriting the
+    # file from a fresh in-memory dict is how the r2 label-only entries
+    # (and their round-3 usefulness as warm-start pointers) were lost
+    os.makedirs(EXP_DIR, exist_ok=True)
+    results = json.load(open(OUT)) if os.path.exists(OUT) else {}
     results[name] = {k: v for k, v in res.items()
                      if isinstance(v, (int, float, str))}
     results[name]["wall_s"] = round(time.time() - t0, 1)
-    os.makedirs(EXP_DIR, exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)
     print(f"== {name}: {results[name]}", flush=True)
