@@ -10,6 +10,10 @@ the real taxonomy with no pixels at all).
 
 Run: cd /root/repo && nohup setsid python tools/quality_classifier_width.py \
         > /tmp/quality_cls_width.log 2>&1 < /dev/null &
+
+Optional argv[1]: bn_stats_dtype ('float32' default | 'bfloat16') — the
+round-4 half-precision BN-statistics experiment's quality-drift leg
+(VERDICT r3 #3): identical run, BN stat sweeps in bf16.
 """
 
 import json
@@ -55,9 +59,11 @@ def main():
     tr_ll = paths[tr_leaves].astype(np.int32)
     ev_ll = paths[ev_leaves].astype(np.int32)
 
+    bn_stats_dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
     cfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
                            lr=1e-3, optimizer="adam", image_size=SIZE,
-                           batch_size=BS, seed=0)
+                           batch_size=BS, seed=0,
+                           bn_stats_dtype=bn_stats_dtype)
     trainer = ClassifierTrainer(lm, cfg, mesh=None)
 
     # stage once on device (uint8: 4x smaller through the dev tunnel),
@@ -104,6 +110,7 @@ def main():
     flat["global_macro_f1"] = round(m["macro"]["f1"], 4)
     out = {"final_loss": round(final_loss, 4),
            "steps": STEPS, "n_train": N_TRAIN, "n_eval": N_EVAL,
+           "bn_stats_dtype": bn_stats_dtype,
            "wall_s": round(time.time() - t0, 1), **flat}
     print("==", json.dumps(out), flush=True)
 
