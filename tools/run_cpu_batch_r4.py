@@ -23,8 +23,17 @@ import time
 os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 REPO = os.getcwd()
 sys.path.insert(0, REPO)
-os.environ["PALLAS_AXON_POOL_IPS"] = ""      # CPU batch: never touch the
-os.environ["JAX_PLATFORMS"] = "cpu"          # TPU (batch-2 owns the chip)
+# CPU batch: never touch the TPU (the TPU batches own the chip). The axon
+# sitecustomize registers the TPU backend at INTERPRETER START whenever
+# PALLAS_AXON_POOL_IPS is non-empty, so mutating os.environ here is too
+# late for this process — re-exec with a clean environment instead
+# (measured: the in-process assignment alone left the batch hanging in
+# axon backend init during the round-4 outage).
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 EXP_DIR = "experiments/quality_r4_label"
 OUT = os.path.join(EXP_DIR, "results.json")
