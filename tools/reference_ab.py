@@ -47,6 +47,16 @@ REPO = os.path.dirname(HERE)
 AB_ROOT = os.path.join(REPO, "experiments", "ref_ab")
 REF = "/root/reference"
 
+# The A/B runs are CPU-only (reference = torch CPU; rebuild = jax CPU).
+# The axon sitecustomize registers the TPU plugin at INTERPRETER START
+# whenever PALLAS_AXON_POOL_IPS is non-empty, and JAX_PLATFORMS=cpu set
+# in-process does not undo that — so re-exec with a clean environment
+# (same guard as run_cpu_batch_r4.py; during a backend outage an
+# accidental axon init hangs ~25 min before erroring).
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    _env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    os.execve(sys.executable, [sys.executable] + sys.argv, _env)
+
 
 def setup_sandbox():
     """cwd layout the reference drivers expect: ../database/ETHEC/*.json
