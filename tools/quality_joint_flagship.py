@@ -42,12 +42,18 @@ N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 35
 # {0:[1,2,3],20:[2,3],50:[3],100:[]}, oe_h.py:1534-1536)
 SCHEDULE = sys.argv[2] if len(sys.argv) > 2 else "compressed"
 OPT = sys.argv[3] if len(sys.argv) > 3 else "adam"   # adam | radam | rsgd
+# optional argv[4]: label-embedding checkpoint (weights/<name>) whose
+# table + calibrated threshold warm-start the label side — the reference
+# --load_emb_from workflow (oe_h.py:1435-1436)
+WARM_CKPT = sys.argv[4] if len(sys.argv) > 4 else None
 NAME = ("joint_flagship_curriculum" if N_EPOCHS == 35
         else f"joint_flagship_curriculum_{N_EPOCHS}ep")
 if SCHEDULE != "compressed":
     NAME += f"_{SCHEDULE}"
 if OPT != "adam":
     NAME += f"_{OPT}"
+if WARM_CKPT:
+    NAME += "_warm"
 CURRICULA = {
     "compressed": {0: (1, 2, 3), 5: (2, 3), 12: (3,), 25: ()},
     "reference": {0: (1, 2, 3), 20: (2, 3), 50: (3,), 100: ()},
@@ -60,16 +66,32 @@ cfg = JointTrainerConfig(
     pick_per_level=True, half_half=True,
     curriculum=CURRICULA[SCHEDULE],
     seed=0)
+init_embeddings, init_threshold = None, None
+if WARM_CKPT:
+    from learning_embeddings_tpu.train.experiment import Checkpointer
+
+    class _Dir:   # Checkpointer only needs .weights
+        weights = os.path.dirname(os.path.abspath(WARM_CKPT))
+
+    payload = Checkpointer(_Dir()).load_raw(os.path.basename(WARM_CKPT))
+    init_embeddings = np.asarray(payload["params"]["params"]["embedding"])
+    thr = float(payload.get("optimal_threshold", float("nan")))
+    init_threshold = None if np.isnan(thr) else thr
+    print(f"warm start: table {init_embeddings.shape} from {WARM_CKPT}, "
+          f"threshold {init_threshold}", flush=True)
+
 res = run_joint_embedding(
     lm, graph, train_edges, feats_for(datasets["train"]), cfg,
     experiment_dir=EXP_DIR, experiment_name=NAME,
     n_epochs=N_EPOCHS, eval_interval=5,
+    init_embeddings=init_embeddings, init_threshold=init_threshold,
     eval_features={s: feats_for(datasets[s]) for s in ("val", "test")},
     eval_paths={s: (datasets[s].level_labels
                     + np.asarray(lm.level_start)[None, :])
                 for s in ("val", "test")},
     manifest_args={"loss": "hyp_cones_loss", "hide_levels": "True",
-                   "half_half": "True"})
+                   "half_half": "True",
+                   **({"load_emb_from": WARM_CKPT} if WARM_CKPT else {})})
 flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
 flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
 flat["wall_s"] = round(time.time() - t0, 1)
