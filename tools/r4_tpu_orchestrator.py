@@ -1,4 +1,4 @@
-"""Round-4 TPU queue with outage gating.
+"""Round-4 TPU queue with outage gating (v2: host-contention pausing).
 
 The axon TPU backend has been in a multi-hour outage ("UNAVAILABLE: TPU
 backend setup/compile error" at client init — see CLAUDE.md). Instead of
@@ -10,12 +10,22 @@ once a probe succeeds, in priority order:
   1. bench default          (VERDICT r3 #1 — the headline re-capture)
   2. bench joint            (validates the r3 per-bucket warmup change)
   3. perf_probe_r4          (bf16 BN statistics — the untried lever, #3)
-  4. hostfed benches        (only once the CPU batch is done — they are
-                             host-pipeline-bound on this 1-core host)
-  5. flagship warm@4        (waits for the CPU batch's label table, #4)
+  4. hostfed benches        (host-pipeline-bound on this 1-core host)
+  5. flagship warm@4        (the round-4 label table is already trained)
   6. Butterfly200 --use_CNN (#7)
   7. bf16-BN quality-drift leg (classifier width run, #3)
   8. flagship @8 img/leaf   (third scaling point, longest, last)
+
+v2: this host has ONE core and the round-4 CPU A/B batches
+(tools/run_cpu_batch_r4*.py) run for hours. Any TIMED stage (bench.py,
+perf probes — including the device-fed ones, whose dispatch loop still
+shares the core) would be depressed by a 98%-CPU A/B leg. Around timed
+stages the orchestrator SIGSTOPs the batch process groups (each batch
+script is a setsid session leader, so killpg(-pgid) pauses its whole
+subprocess tree) and SIGCONTs them after — discovery is by EXACT
+argv[1] prefix match in /proc, never by pkill/pgrep pattern. Quality
+stages run unpaused (they share the core; their walls are reported as
+shared-host context only).
 
 A stage that fails with an outage signature re-enters the probe gate and
 retries once. Probe attempts themselves hang ~25 min when the backend is
@@ -26,20 +36,66 @@ Launch: cd /root/repo && nohup setsid python tools/r4_tpu_orchestrator.py \
 """
 
 import os
+import signal
 import subprocess
 import sys
 import time
+from contextlib import contextmanager
 
 os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 OUT = "experiments/r4_tpu/batch1"
 os.makedirs(OUT, exist_ok=True)
 WARM = "experiments/quality_r4_label/hyp_cone_d10_r4/weights/best_model"
-CPU_LOG = "/tmp/cpu_batch_r4.log"
 OUTAGE_TOKENS = ("UNAVAILABLE", "TPU backend", "Unable to initialize")
 
 
 def log(msg):
     print(f"[orch {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def batch_pgids():
+    """Process groups of the CPU batch leaders, by exact argv[1] match."""
+    pgids = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+        except OSError:
+            continue
+        if len(argv) < 2:
+            continue
+        a1 = argv[1].decode("utf-8", errors="replace")
+        if not a1.startswith("tools/run_cpu_batch_r4"):
+            continue
+        try:
+            pgid = os.getpgid(int(pid))
+        except OSError:
+            continue
+        if pgid == int(pid):        # the setsid leader only
+            pgids.append(pgid)
+    return pgids
+
+
+@contextmanager
+def paused_batches():
+    pgids = batch_pgids()
+    for pg in pgids:
+        try:
+            os.killpg(pg, signal.SIGSTOP)
+        except OSError:
+            pass
+    log(f"paused CPU batch groups {pgids}")
+    try:
+        yield
+    finally:
+        for pg in pgids:
+            try:
+                os.killpg(pg, signal.SIGCONT)
+            except OSError:
+                pass
+        log(f"resumed CPU batch groups {pgids}")
 
 
 def probe():
@@ -64,10 +120,14 @@ def wait_for_tpu():
         time.sleep(300)
 
 
-def run(name, cmd, tee=None):
+def run(name, cmd, tee=None, timed=False):
     log(f"START {name}: {' '.join(cmd)}")
     t0 = time.time()
-    r = subprocess.run(cmd, capture_output=True, text=True)
+    if timed:
+        with paused_batches():
+            r = subprocess.run(cmd, capture_output=True, text=True)
+    else:
+        r = subprocess.run(cmd, capture_output=True, text=True)
     out = r.stdout + r.stderr
     if tee:
         with open(tee, "w") as f:
@@ -81,20 +141,13 @@ def run(name, cmd, tee=None):
     return "ok" if r.returncode == 0 else "failed"
 
 
-def run_gated(name, cmd, tee=None):
-    status = run(name, cmd, tee=tee)
+def run_gated(name, cmd, tee=None, timed=False):
+    status = run(name, cmd, tee=tee, timed=timed)
     if status == "outage":
         log(f"{name}: outage signature — re-probing then one retry")
         wait_for_tpu()
-        status = run(name, cmd, tee=tee)
+        status = run(name, cmd, tee=tee, timed=timed)
     return status
-
-
-def cpu_batch_done():
-    try:
-        return "CPU_BATCH_R4 DONE" in open(CPU_LOG).read()
-    except OSError:
-        return False
 
 
 def main():
@@ -102,43 +155,23 @@ def main():
     wait_for_tpu()
 
     run_gated("bench_default", [py, "bench.py"],
-              tee=f"{OUT}/bench_default.json")
+              tee=f"{OUT}/bench_default.json", timed=True)
     run_gated("bench_joint", [py, "bench.py", "joint"],
-              tee=f"{OUT}/bench_joint.json")
+              tee=f"{OUT}/bench_joint.json", timed=True)
     run_gated("perf_probe_r4", [py, "tools/perf_probe_r4.py"],
-              tee=f"{OUT}/perf_probe_r4.jsonl")
+              tee=f"{OUT}/perf_probe_r4.jsonl", timed=True)
+    run_gated("bench_hostfed", [py, "bench.py", "hostfed"],
+              tee=f"{OUT}/bench_hostfed.json", timed=True)
+    run_gated("bench_joint_hostfed", [py, "bench.py", "joint_hostfed"],
+              tee=f"{OUT}/bench_joint_hostfed.json", timed=True)
 
-    hostfed_pending = True
-    if cpu_batch_done():
-        run_gated("bench_hostfed", [py, "bench.py", "hostfed"],
-                  tee=f"{OUT}/bench_hostfed.json")
-        run_gated("bench_joint_hostfed", [py, "bench.py", "joint_hostfed"],
-                  tee=f"{OUT}/bench_joint_hostfed.json")
-        hostfed_pending = False
-
-    # flagship warm@4: wait up to 3 h for the CPU batch's label table
-    for _ in range(36):
-        if os.path.exists(WARM):
-            break
-        log(f"waiting for warm ckpt {WARM}")
-        time.sleep(300)
     if os.path.exists(WARM):
         run_gated("flagship_warm4",
                   [py, "tools/quality_cnn_flagship.py", "40", "4", WARM])
     else:
-        log("warm ckpt never appeared — skipping flagship_warm4")
+        log(f"warm ckpt {WARM} missing — skipping flagship_warm4")
 
     run_gated("b200_cnn", [py, "tools/quality_b200_cnn.py", "40", "4"])
-
-    if hostfed_pending:
-        while not cpu_batch_done():
-            log("waiting for CPU batch before hostfed benches")
-            time.sleep(300)
-        run_gated("bench_hostfed", [py, "bench.py", "hostfed"],
-                  tee=f"{OUT}/bench_hostfed.json")
-        run_gated("bench_joint_hostfed", [py, "bench.py", "joint_hostfed"],
-                  tee=f"{OUT}/bench_joint_hostfed.json")
-
     run_gated("bn_bf16_quality",
               [py, "tools/quality_classifier_width.py", "bfloat16"])
     run_gated("flagship_8perleaf",
