@@ -854,7 +854,8 @@ def _ref_level_metrics_from_npy(npy_dir):
     return out
 
 
-def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001):
+def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001,
+                       use_2d=False):
     """A/B the reference's multi-head CNN classifier — the LAST family
     never run upstream: ETHEC_train_model --debug
     (ethec_experiments.py:243-434), the real CIFAR10/ETHECExperiment
@@ -864,7 +865,13 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001):
     12-species debug taxonomy with the SAME separable JPEGs as the
     --use_CNN A/B (setup_cnn_sandbox). loss ∈ {multi_level, masked_loss,
     last_level, hsoftmax, multi_label}. Both sides random-init (no
-    torchvision weights offline — stub prints the notice)."""
+    torchvision weights offline — stub prints the notice).
+
+    use_2d=True drives the ETHEC2D variant instead
+    (ethec_experiments.py:52-200): CNN2DFeat's bias-free 2-d bottleneck
+    with per-level bias-free heads, label-representation plots every
+    eval, PR plotting every 10th epoch — the same CIFAR10.train() /
+    load_best_model() tail, so the npy-dump extractor applies."""
     setup_cnn_sandbox()
     setup_modules()
     os.chdir(os.path.join(AB_ROOT, "run"))
@@ -885,7 +892,20 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001):
 
     import network.ethec_experiments as mod
 
-    name = f"classifier_{loss}_ep{n_epochs}_lr{lr}"
+    if use_2d:
+        # Upstream bitrot revival (one class attribute): ETHEC2D skips
+        # CIFAR10.__init__ so it never sets model_name, and the driver's
+        # unconditional prepare_model() (ethec_experiments.py:427) reads
+        # it (finetuner.py:142). Any 'resnet'/'alexnet' value would make
+        # prepare_model CLOBBER the 2-d bottleneck head CNN2DFeat already
+        # built (CNN2DFeat has no .fc → AttributeError); a non-matching
+        # name skips the head surgery, which is the only behavior
+        # consistent with ETHEC2D's own __init__. First recorded verbatim
+        # as classifier2d_multi_level_ep1 (AttributeError) in
+        # experiments/ref_ab/results.json.
+        mod.ETHEC2D.model_name = "cnn2d"
+
+    name = f"classifier{'2d' if use_2d else ''}_{loss}_ep{n_epochs}_lr{lr}"
     args = argparse.Namespace(
         debug=True, lr=lr, batch_size=10, evaluator="ML",
         experiment_name=name, experiment_dir=AB_ROOT + "/",
@@ -895,7 +915,7 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001):
         model="resnet18", loss=loss, use_grayscale=False,
         class_weights=False, weight_strategy="inv",
         freeze_weights=False, set_mode="train", level_weights=None,
-        lr_step=[], use_2d=False)
+        lr_step=[], use_2d=use_2d)
 
     restore = _install_cnn_db_butterfly()
     log_path = os.path.join(AB_ROOT, f"{name}.log")
@@ -930,8 +950,8 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001):
     except Exception as e:
         results["level_metrics_error"] = repr(e)[:200]
     results.update(status=status, wall_s=round(time.time() - t0, 1),
-                   kind="classifier_ref", loss=loss, lr=lr,
-                   n_epochs=n_epochs)
+                   kind="classifier2d_ref" if use_2d else "classifier_ref",
+                   loss=loss, lr=lr, n_epochs=n_epochs)
     res_path = os.path.join(AB_ROOT, "results.json")
     blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
     blob[name] = results
@@ -941,7 +961,8 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001):
     return results
 
 
-def run_rebuild_classifier(n_epochs, loss="multi_level", lr=0.001):
+def run_rebuild_classifier(n_epochs, loss="multi_level", lr=0.001,
+                           use_2d=False):
     """The rebuild's classifier CLI (cli/ethec_experiments.py) on the
     IDENTICAL sandbox: same 12-species splits (raw-epithet jsons — the
     rebuild derives the taxonomy from records), the same JPEG files,
@@ -955,7 +976,8 @@ def run_rebuild_classifier(n_epochs, loss="multi_level", lr=0.001):
 
     from learning_embeddings_tpu.cli.ethec_experiments import main as cls_main
 
-    name = f"rebuild_classifier_{loss}_ep{n_epochs}_lr{lr}"
+    name = (f"rebuild_classifier{'2d' if use_2d else ''}_"
+            f"{loss}_ep{n_epochs}_lr{lr}")
     t0 = time.time()
     res = cls_main([
         "--set_mode", "train", "--loss", loss,
@@ -964,13 +986,14 @@ def run_rebuild_classifier(n_epochs, loss="multi_level", lr=0.001):
         "--batch_size", "10", "--lr", str(lr),
         "--n_epochs", str(n_epochs), "--eval_interval", "5",
         "--experiment_dir", AB_ROOT, "--experiment_name", name,
-        "--merged"])
+        "--merged"] + (["--use_2d"] if use_2d else []))
     flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
     flat.update({f"test_{k.replace('/', '_')}": v
                  for k, v in res["test_metrics"].items()})
     flat.update(wall_s=round(time.time() - t0, 1),
-                kind="rebuild_classifier", loss=loss, lr=lr,
-                n_epochs=n_epochs)
+                kind=("rebuild_classifier2d" if use_2d
+                      else "rebuild_classifier"),
+                loss=loss, lr=lr, n_epochs=n_epochs)
     res_path = os.path.join(AB_ROOT, "results.json")
     blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
     blob[name] = flat
@@ -1072,14 +1095,17 @@ if __name__ == "__main__":
     if kind == "rebuild_joint_cnn":
         run_rebuild_joint_cnn(n_epochs, lr if lr is not None else 0.01)
         sys.exit(0)
-    if kind.startswith("classifier_") or kind.startswith(
-            "rebuild_classifier_"):
-        # classifier_<loss> / rebuild_classifier_<loss>,
-        # loss ∈ {multi_level, masked_loss, last_level, hsoftmax}
-        loss = kind.split("classifier_", 1)[1]
+    if "classifier" in kind and ("_" in kind):
+        # classifier[2d]_<loss> / rebuild_classifier[2d]_<loss>,
+        # loss ∈ {multi_level, masked_loss, last_level, hsoftmax,
+        #          multi_label}
+        use_2d = "classifier2d_" in kind
+        loss = kind.split("classifier2d_" if use_2d else "classifier_",
+                          1)[1]
         fn = (run_rebuild_classifier if kind.startswith("rebuild_")
               else run_classifier_ref)
-        fn(n_epochs, loss=loss, lr=lr if lr is not None else 0.001)
+        fn(n_epochs, loss=loss, lr=lr if lr is not None else 0.001,
+           use_2d=use_2d)
         sys.exit(0)
     if kind == "all":
         # separate processes: the reference modules seed global RNGs and
