@@ -353,6 +353,57 @@ _MAX_ATTEMPTS = 3
 _RETRY_DELAY_S = 750
 
 
+def _pause_cpu_batches():
+    """Best-effort: suspend the round-4 CPU A/B batch process groups
+    (tools/run_cpu_batch_r4*.py, setsid leaders — found by EXACT argv[1]
+    prefix in /proc, never by pkill/pgrep patterns) for the duration of
+    this bench. The host has one core; a 98%-CPU training leg depresses
+    even the device-fed numbers through the dispatch loop. Each pause
+    spawns a detached insurance timer that SIGCONTs the group after 3 h:
+    the outage-retry path execve's this process, so no in-process
+    finally/atexit can own the resume across attempts."""
+    import signal
+    import subprocess
+    pgids = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+        except OSError:
+            continue
+        if len(argv) < 2 or not argv[1].decode(
+                "utf-8", errors="replace").startswith("tools/run_cpu_batch_"):
+            continue
+        try:
+            pgid = os.getpgid(int(pid))
+        except OSError:
+            continue
+        if pgid != int(pid):        # the setsid leader only
+            continue
+        try:
+            os.killpg(pgid, signal.SIGSTOP)
+        except OSError:
+            continue
+        pgids.append(pgid)
+        subprocess.Popen(
+            ["setsid", "sh", "-c",
+             f"sleep 10800; kill -CONT -{pgid} 2>/dev/null"],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return pgids
+
+
+def _resume_cpu_batches(pgids):
+    import signal
+    for pgid in pgids:
+        try:
+            os.killpg(pgid, signal.SIGCONT)
+        except OSError:
+            pass
+
+
 def _run_with_outage_retry():
     import sys
     attempt = int(os.environ.get("LE_BENCH_ATTEMPT", "0"))
@@ -374,4 +425,8 @@ def _run_with_outage_retry():
 
 
 if __name__ == "__main__":
-    _run_with_outage_retry()
+    _paused = _pause_cpu_batches()
+    try:
+        _run_with_outage_retry()
+    finally:
+        _resume_cpu_batches(_paused)
