@@ -404,6 +404,40 @@ def _resume_cpu_batches(pgids):
             pass
 
 
+def _stale_fallback():
+    """Last resort when every live attempt hit the outage: re-emit the most
+    recent SAME-MODE capture teed by the TPU orchestrator this round
+    (experiments/r*_tpu/*/bench_<mode>.json — real TPU measurements, just
+    taken earlier than this invocation), explicitly labeled stale. Returns
+    True if a line was emitted."""
+    import glob
+    import sys
+    mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
+        else "default"
+    candidates = sorted(glob.glob(f"experiments/r*_tpu/*/bench_{mode}.json"),
+                        key=os.path.getmtime, reverse=True)
+    for path in candidates:
+        try:
+            lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+        except OSError:
+            continue
+        for ln in reversed(lines):
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            if not isinstance(rec, dict) or "metric" not in rec:
+                continue
+            rec["stale"] = True
+            rec["stale_reason"] = ("TPU backend outage at bench time; value "
+                                   "is this round's most recent live capture")
+            rec["captured_utc"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(path)))
+            print(json.dumps(rec))
+            return True
+    return False
+
+
 def _run_with_outage_retry():
     import sys
     attempt = int(os.environ.get("LE_BENCH_ATTEMPT", "0"))
@@ -411,8 +445,13 @@ def _run_with_outage_retry():
         _dispatch()
     except Exception as e:  # noqa: BLE001 — filtered to init-time outages
         msg = f"{type(e).__name__}: {e}"
-        if attempt + 1 >= _MAX_ATTEMPTS or \
-                not any(tok in msg for tok in _RETRIABLE):
+        if not any(tok in msg for tok in _RETRIABLE):
+            raise
+        if attempt + 1 >= _MAX_ATTEMPTS:
+            import traceback
+            traceback.print_exc()
+            if _stale_fallback():
+                return
             raise
         import traceback
         traceback.print_exc()
