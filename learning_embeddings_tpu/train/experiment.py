@@ -161,12 +161,23 @@ class Checkpointer:
         """Restore without a target template (numpy leaves) — for reading
         another experiment's checkpoint whose optimizer-state structure
         this process doesn't know (e.g. --load_emb_from warm starts,
-        oe_h.py:1904-1916)."""
+        oe_h.py:1904-1916).
+
+        Every leaf is restored as HOST numpy via metadata-built
+        restore_args: a plain template-less restore replays the saved
+        shardings, which crashes cross-backend ("Device TFRT_CPU_0 was
+        not found") when e.g. a CPU-trained label table warm-starts a
+        TPU joint run — the reference's standard workflow."""
         import warnings
 
+        path = self._path(name)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")   # orbax warns on template-less
-            return self._ckpt.restore(self._path(name))
+            ckptr = ocp.PyTreeCheckpointer()
+            meta = ckptr.metadata(path).item_metadata
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree)
+            return ckptr.restore(path, restore_args=restore_args)
 
     def epochs_on_disk(self):
         out = []

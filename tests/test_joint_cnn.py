@@ -314,6 +314,13 @@ def test_use_cnn_cli_evaluates_and_checkpoints(tmp_path):
     ckpt = Checkpointer(r["experiment"])
     payload = ckpt.load_raw("best_model")
     assert "optimal_threshold" in payload
+    # template-less restores must come back as HOST numpy, never replaying
+    # the saved shardings — a CPU-trained warm-start table read inside a
+    # TPU process crashed orbax otherwise ("Device TFRT_CPU_0 not found")
+    import jax as _jax
+
+    assert all(isinstance(leaf, np.ndarray)
+               for leaf in _jax.tree_util.tree_leaves(payload))
 
     # --resume restores the latest numbered checkpoint and continues
     r2 = main((f"--set_mode train --use_CNN --hide_levels "
