@@ -353,34 +353,54 @@ _MAX_ATTEMPTS = 3
 _RETRY_DELAY_S = 750
 
 
+#: setsid session leaders whose whole groups get suspended around a timed
+#: bench: the CPU A/B batches (a 98%-CPU torch leg depresses even the
+#: device-fed numbers through the dispatch loop on this 1-core host) and
+#: the round-4 TPU quality queue (a second axon client mid-quality-run
+#: would contend for the single chip/tunnel during the driver's round-end
+#: capture; both the orchestrator and the watcher retry a stage whose
+#: client went stale across the pause). Groups ALREADY stopped are
+#: skipped — the watcher pauses the orchestrator on purpose, and resuming
+#: it from here would put two axon clients on the single chip.
+_PAUSE_PREFIXES = ("tools/run_cpu_batch_", "tools/r4_tpu_orchestrator",
+                   "tools/r4_warm4_watcher")
+
+
 def _pause_cpu_batches():
-    """Best-effort: suspend the round-4 CPU A/B batch process groups
-    (tools/run_cpu_batch_r4*.py, setsid leaders — found by EXACT argv[1]
-    prefix in /proc, never by pkill/pgrep patterns) for the duration of
-    this bench. The host has one core; a 98%-CPU training leg depresses
-    even the device-fed numbers through the dispatch loop. Each pause
+    """Best-effort: suspend contending process groups (_PAUSE_PREFIXES,
+    setsid leaders — found by EXACT argv[1] prefix in /proc, never by
+    pkill/pgrep patterns) for the duration of this bench. Never our OWN
+    process group (when the orchestrator itself spawns this bench, the
+    bench shares its group — a killpg would self-suspend). Each pause
     spawns a detached insurance timer that SIGCONTs the group after 3 h:
     the outage-retry path execve's this process, so no in-process
     finally/atexit can own the resume across attempts."""
     import signal
     import subprocess
     pgids = []
+    own = os.getpgrp()
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
                 argv = f.read().split(b"\0")
+            with open(f"/proc/{pid}/stat") as f:
+                state = f.read().rsplit(")", 1)[1].split()[0]
         except OSError:
             continue
         if len(argv) < 2 or not argv[1].decode(
-                "utf-8", errors="replace").startswith("tools/run_cpu_batch_"):
+                "utf-8", errors="replace").startswith(_PAUSE_PREFIXES):
+            continue
+        if state in ("T", "t"):     # already stopped — not ours to resume
             continue
         try:
             pgid = os.getpgid(int(pid))
         except OSError:
             continue
         if pgid != int(pid):        # the setsid leader only
+            continue
+        if pgid == own:             # never self-suspend
             continue
         try:
             os.killpg(pgid, signal.SIGSTOP)
