@@ -22,7 +22,7 @@ from typing import Dict, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from ..geometry import pairwise_energy
+from ..geometry import pairwise_energy_sharded
 from .metrics import prf1_from_counts
 
 __all__ = ["joint_classification_metrics"]
@@ -35,11 +35,16 @@ def joint_classification_metrics(
     labelmap,
     energy: str = "hyp_cone",
     ks: Sequence[int] = (1, 3, 5),
+    mesh=None,
     **energy_kw,
 ) -> Dict[str, object]:
     """label_emb: (n_labels, D); img_emb: (n_images, D);
-    img_paths_global: (n_images, L) gt ancestor (global label id) per level."""
-    E = np.asarray(pairwise_energy(energy, label_emb, img_emb, **energy_kw))
+    img_paths_global: (n_images, L) gt ancestor (global label id) per level.
+    With a mesh, the (labels × images) energy matrix shards its image
+    columns over 'data' (the reference ranks on one GPU in host chunks,
+    oe_h.py:2018-2053)."""
+    E = np.asarray(pairwise_energy_sharded(energy, label_emb, img_emb,
+                                           mesh=mesh, **energy_kw))
     n_labels, n_images = E.shape
     L = labelmap.n_levels
     img_paths_global = np.asarray(img_paths_global)

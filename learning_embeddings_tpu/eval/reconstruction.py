@@ -15,7 +15,7 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..geometry import pairwise_energy
+from ..geometry import pairwise_energy_sharded
 from .threshold import ThresholdMetrics, best_threshold_metrics, threshold_metrics
 
 __all__ = ["reconstruction_metrics"]
@@ -26,6 +26,7 @@ def reconstruction_metrics(
     closure: np.ndarray,
     energy: str = "hyp_cone",
     threshold: Optional[float] = None,
+    mesh=None,
     **energy_kw,
 ) -> ThresholdMetrics:
     """F1/acc/P/R of reconstructing `closure` from pairwise energies.
@@ -34,8 +35,11 @@ def reconstruction_metrics(
     restriction at oe_h.py:2185-2198). closure: (N, N) bool transitive
     closure. Positives = closure edges; negatives = non-edges minus the
     diagonal. With `threshold=None` the best-F1 threshold is swept
-    (val/checkpoint path); otherwise metrics at the fixed threshold."""
-    E = np.asarray(pairwise_energy(energy, embeddings, embeddings, **energy_kw))
+    (val/checkpoint path); otherwise metrics at the fixed threshold.
+    With a mesh, the O(N²) energy matrix shards its columns over 'data'
+    (the reference chunks host-side on one GPU, oe_h.py:2180-2247)."""
+    E = np.asarray(pairwise_energy_sharded(energy, embeddings, embeddings,
+                                           mesh=mesh, **energy_kw))
     closure = np.asarray(closure, dtype=bool)
     n = closure.shape[0]
     offdiag = ~np.eye(n, dtype=bool)

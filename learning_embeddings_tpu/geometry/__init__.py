@@ -17,6 +17,7 @@ from .poincare import (
 )
 from .pairwise import (
     pairwise_energy,
+    pairwise_energy_sharded,
     pairwise_euc_cone_energy,
     pairwise_hyp_cone_energy,
     pairwise_order_energy,
@@ -44,6 +45,7 @@ __all__ = [
     "poincare_distance",
     "project_annulus",
     "pairwise_energy",
+    "pairwise_energy_sharded",
     "pairwise_euc_cone_energy",
     "pairwise_hyp_cone_energy",
     "pairwise_order_energy",

@@ -31,6 +31,7 @@ __all__ = [
     "pairwise_euc_cone_energy",
     "pairwise_hyp_cone_energy",
     "pairwise_energy",
+    "pairwise_energy_sharded",
 ]
 
 
@@ -164,3 +165,41 @@ _PAIRWISE = {
 
 def pairwise_energy(kind: str, u, v, **kw):
     return _PAIRWISE[kind](u, v, **kw)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded all-pairs — V's rows over 'data', U replicated
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _sharded_pairwise_fn(kind: str, mesh, kw_items):
+    from jax.sharding import PartitionSpec as P
+
+    kw = dict(kw_items)
+    return jax.jit(jax.shard_map(
+        lambda uu, vv: pairwise_energy(kind, uu, vv, **kw),
+        mesh=mesh, in_specs=(P(), P("data", None)),
+        out_specs=P(None, "data")))
+
+
+def pairwise_energy_sharded(kind: str, u, v, *, mesh=None, **kw):
+    """(M, N) all-pairs energies with V's rows sharded over the mesh's
+    'data' axis and U replicated: each device runs the SAME single-device
+    kernel on its (M, N/q) column block — column blocks are independent,
+    so no collectives are inserted. The reference's eval-side pairwise
+    passes are host-chunked loops on one GPU (ranking oe_h.py:2018-2053,
+    reconstruction oe_h.py:2180-2247); unsharded they would idle every
+    other chip at each eval interval. Ragged N pads with a repeated last
+    row and the padding is sliced off. mesh=None (or a 1-wide 'data'
+    axis) falls back to the plain kernel."""
+    if mesh is None or dict(mesh.shape).get("data", 1) <= 1:
+        return pairwise_energy(kind, u, v, **kw)
+    n = int(v.shape[0])
+    q = int(mesh.shape["data"])
+    uj, vj = jnp.asarray(u), jnp.asarray(v)
+    pad = (-n) % q
+    if pad:
+        vj = jnp.concatenate(
+            [vj, jnp.broadcast_to(vj[-1:], (pad,) + vj.shape[1:])])
+    fn = _sharded_pairwise_fn(kind, mesh, tuple(sorted(kw.items())))
+    return fn(uj, vj)[:, :n]

@@ -328,4 +328,4 @@ class EmbeddingTrainer:
                                       : self.labelmap.n_classes]
         return reconstruction_metrics(
             emb, closure, energy=self.cfg.energy, threshold=threshold,
-            **self._energy_kw)
+            mesh=self.mesh, **self._energy_kw)

@@ -424,14 +424,15 @@ class JointEmbeddingTrainer:
             self.label_embeddings(),
             self.image_embeddings(features),
             paths, self.labelmap, energy=self.cfg.energy, ks=ks,
-            **self._energy_kw)
+            mesh=self.mesh, **self._energy_kw)
 
     def reconstruction(self, threshold=None):
         nl = self.labelmap.n_classes
         return reconstruction_metrics(
             self.label_embeddings()[:nl],
             self.graph.label_closure[:nl, :nl],
-            energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
+            energy=self.cfg.energy, threshold=threshold, mesh=self.mesh,
+            **self._energy_kw)
 
     def edge_metrics(self, img_paths_global, features, *,
                      threshold=None, seed: int = 17):

@@ -424,7 +424,8 @@ class JointCNNTrainer:
         return joint_classification_metrics(
             self.label_embeddings(), image_embs,
             np.asarray(img_paths_global), self.labelmap,
-            energy=self.cfg.energy, ks=ks, **self._energy_kw)
+            energy=self.cfg.energy, ks=ks, mesh=self.mesh,
+            **self._energy_kw)
 
     def edge_metrics(self, img_paths_global, image_embs, *,
                      threshold=None, seed: int = 17):
@@ -446,7 +447,8 @@ class JointCNNTrainer:
         return reconstruction_metrics(
             self.label_embeddings()[:nl],
             self.graph.label_closure[:nl, :nl],
-            energy=self.cfg.energy, threshold=threshold, **self._energy_kw)
+            energy=self.cfg.energy, threshold=threshold, mesh=self.mesh,
+            **self._energy_kw)
 
     def image_embeddings_from_pixels(self, pixels):
         """Eval forward of the CNN tower. On a mesh the pixel batch shards

@@ -307,3 +307,61 @@ def test_simple_euclidean_nll_loss_vs_torch():
         ref = ref + dp[i] + torch.log(torch.sum(torch.exp(-cat)))
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(d_pos), dp.numpy(), rtol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["order", "euc_cone", "hyp_cone"])
+def test_pairwise_energy_sharded_matches_single(kind):
+    """Meshed eval pairwise kernels (V's rows over 'data', U replicated;
+    ragged N exercises the pad-and-slice path) match the single-device
+    kernels bit-exactly — the reference's eval-side pairwise passes run
+    on one GPU in host chunks (oe_h.py:2018-2053, 2180-2247)."""
+    from learning_embeddings_tpu.geometry import (pairwise_energy,
+                                                  pairwise_energy_sharded)
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    u = RNG.randn(23, 10).astype(np.float32) * 0.3
+    v = RNG.randn(37, 10).astype(np.float32) * 0.3   # 37 % 4 != 0
+    kw = {"K": 0.2} if kind == "hyp_cone" else {}
+    single = np.asarray(pairwise_energy(kind, u, v, **kw))
+    meshed = np.asarray(pairwise_energy_sharded(kind, u, v, mesh=mesh, **kw))
+    assert single.shape == meshed.shape == (23, 37)
+    np.testing.assert_array_equal(single, meshed)
+    # mesh=None falls back to the plain kernel
+    np.testing.assert_array_equal(
+        single, np.asarray(pairwise_energy_sharded(kind, u, v, mesh=None,
+                                                   **kw)))
+
+
+def test_reconstruction_and_ranking_meshed_match_single():
+    """joint_classification_metrics / reconstruction_metrics produce
+    identical metrics with and without a mesh (column-block sharding must
+    not change any ranking or threshold decision)."""
+    from learning_embeddings_tpu.eval.ranking import (
+        joint_classification_metrics)
+    from learning_embeddings_tpu.eval.reconstruction import (
+        reconstruction_metrics)
+    from learning_embeddings_tpu.hierarchy.labelmap import toy_labelmap
+    from learning_embeddings_tpu.parallel.mesh import make_mesh
+
+    lm = toy_labelmap()
+    mesh = make_mesh(n_data=8, n_model=1)
+    n_img = 13                                        # 13 % 8 != 0
+    label_emb = RNG.randn(lm.n_classes, 6).astype(np.float32) * 0.3
+    img_emb = RNG.randn(n_img, 6).astype(np.float32) * 0.3
+    paths = lm.leaf_paths()[RNG.randint(0, lm.levels[-1], n_img)]
+    paths_global = paths + np.asarray(lm.level_start)[None, :]
+
+    a = joint_classification_metrics(label_emb, img_emb, paths_global, lm)
+    b = joint_classification_metrics(label_emb, img_emb, paths_global, lm,
+                                     mesh=mesh)
+    for k, va in a.items():
+        if isinstance(va, float):
+            assert va == b[k], k
+
+    closure = np.zeros((lm.n_classes, lm.n_classes), bool)
+    closure[np.triu_indices(lm.n_classes, 1)] = True  # any fixed pattern
+    ra = reconstruction_metrics(label_emb, closure)
+    rb = reconstruction_metrics(label_emb, closure, mesh=mesh)
+    assert (float(ra.f1), float(ra.threshold)) == \
+           (float(rb.f1), float(rb.threshold))
