@@ -39,17 +39,15 @@ def _unique_tower_images(prepared, n_labels):
     return int(len(np.unique(ids[ids >= n_labels])))
 
 
-def main(batch_size: int = 128, steps: int = 20, warmup: int = 3):
-    import jax
+def _time_classifier(labelmap, batch_size, steps, warmup, **cfg_kw):
+    """Steady-state img/s of one jitted classifier train step."""
     import jax.numpy as jnp
-    from __graft_entry__ import _ethec_labelmap
     from learning_embeddings_tpu.train.classifier import (
         ClassifierConfig, ClassifierTrainer)
 
-    labelmap = _ethec_labelmap()
     cfg = ClassifierConfig(backbone="resnet50", criterion="multi_level_ce",
                            lr=1e-5, optimizer="adam", image_size=448,
-                           batch_size=batch_size, seed=0)
+                           batch_size=batch_size, seed=0, **cfg_kw)
     trainer = ClassifierTrainer(labelmap, cfg, mesh=None)
 
     rng = np.random.RandomState(0)
@@ -70,15 +68,34 @@ def main(batch_size: int = 128, steps: int = 20, warmup: int = 3):
     for _ in range(steps):
         state, loss = trainer.train_step(state, images, ll, multihot)
     _ = float(loss)  # forces the whole step chain (loss_N <- state_{N-1})
-    dt = time.perf_counter() - t0
+    return batch_size * steps / (time.perf_counter() - t0)
 
-    ips = batch_size * steps / dt
-    print(json.dumps({
+
+def main(batch_size: int = 128, steps: int = 20, warmup: int = 3):
+    from __graft_entry__ import _ethec_labelmap
+
+    labelmap = _ethec_labelmap()
+    ips = _time_classifier(labelmap, batch_size, steps, warmup)
+    line = {
         "metric": "ETHEC ResNet-50@448 multi-level-CE train throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+    # the supported fine-tune configuration (--freeze_bn: BN in inference
+    # mode, the reference's pretrained-finetune regime — finetuner.py:138
+    # feature-extracting mode is the extreme of the same axis). Measured
+    # +23% over BN-train (BASELINE.md r2-r4). Reported alongside the
+    # BN-train default so the round artifact carries the framework's best
+    # honest number; fewer steps — the extra remote compile dominates.
+    try:
+        fb = _time_classifier(labelmap, batch_size, max(steps // 2, 8),
+                              2, freeze_bn=True)
+        line["freeze_bn"] = round(fb, 2)
+        line["freeze_bn_vs_baseline"] = round(fb / BASELINE_IMG_PER_SEC, 3)
+    except Exception as e:  # noqa: BLE001 — secondary number must never
+        line["freeze_bn_error"] = f"{type(e).__name__}: {e}"  # eat the line
+    print(json.dumps(line))
 
 
 def main_joint(batch_size: int = 16, steps: int = 10, warmup: int = 2,
@@ -363,7 +380,7 @@ _RETRY_DELAY_S = 750
 #: skipped — the watcher pauses the orchestrator on purpose, and resuming
 #: it from here would put two axon clients on the single chip.
 _PAUSE_PREFIXES = ("tools/run_cpu_batch_", "tools/r4_tpu_orchestrator",
-                   "tools/r4_warm4_watcher")
+                   "tools/r4_warm4_watcher", "tools/r5_tpu_orchestrator")
 
 
 def _pause_cpu_batches():

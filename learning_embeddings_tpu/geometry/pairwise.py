@@ -171,35 +171,57 @@ def pairwise_energy(kind: str, u, v, **kw):
 # mesh-sharded all-pairs — V's rows over 'data', U replicated
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
+# bounded: meshes (and their compiled executables) are retained by the
+# cache — tests that build many differently-shaped meshes must not pin
+# device handles forever (ADVICE r4)
+@functools.lru_cache(maxsize=8)
 def _sharded_pairwise_fn(kind: str, mesh, kw_items):
     from jax.sharding import PartitionSpec as P
 
     kw = dict(kw_items)
+    n_model = dict(mesh.shape).get("model", 1)
+    # U's rows shard over 'model' (when present), V's rows over 'data':
+    # every chip in the mesh gets an (M/p, N/q) tile, not just the data
+    # axis — a {data: 4, model: 2} mesh uses all 8 chips (ADVICE r4).
+    u_spec = P("model", None) if n_model > 1 else P()
+    out_spec = P("model", "data") if n_model > 1 else P(None, "data")
     return jax.jit(jax.shard_map(
         lambda uu, vv: pairwise_energy(kind, uu, vv, **kw),
-        mesh=mesh, in_specs=(P(), P("data", None)),
-        out_specs=P(None, "data")))
+        mesh=mesh, in_specs=(u_spec, P("data", None)),
+        out_specs=out_spec))
+
+
+def _pad_rows(x, multiple: int):
+    pad = (-x.shape[0]) % multiple
+    if not pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])])
 
 
 def pairwise_energy_sharded(kind: str, u, v, *, mesh=None, **kw):
-    """(M, N) all-pairs energies with V's rows sharded over the mesh's
-    'data' axis and U replicated: each device runs the SAME single-device
-    kernel on its (M, N/q) column block — column blocks are independent,
-    so no collectives are inserted. The reference's eval-side pairwise
-    passes are host-chunked loops on one GPU (ranking oe_h.py:2018-2053,
-    reconstruction oe_h.py:2180-2247); unsharded they would idle every
-    other chip at each eval interval. Ragged N pads with a repeated last
-    row and the padding is sliced off. mesh=None (or a 1-wide 'data'
-    axis) falls back to the plain kernel."""
-    if mesh is None or dict(mesh.shape).get("data", 1) <= 1:
+    """(M, N) all-pairs energies tiled over the mesh: U's rows shard over
+    'model' (if that axis is wider than 1), V's rows over 'data', so each
+    device runs the SAME single-device kernel on its (M/p, N/q) tile —
+    tiles are independent, so no collectives are inserted. The reference's
+    eval-side pairwise passes are host-chunked loops on one GPU (ranking
+    oe_h.py:2018-2053, reconstruction oe_h.py:2180-2247); unsharded they
+    would idle every other chip at each eval interval. Ragged M/N pad with
+    a repeated last row and the padding is sliced off. mesh=None (or a
+    1-chip mesh) and empty inputs fall back to the plain kernel.
+
+    Note: tiling changes XLA's block shapes, so meshed energies can drift
+    from the single-device kernel at ulp level (~1e-5 relative on
+    XLA:CPU) — ranking/threshold decisions are tolerance-tested, not
+    bit-exact (tests/test_geometry.py)."""
+    m, n = int(u.shape[0]), int(v.shape[0])
+    if mesh is None or m == 0 or n == 0:
         return pairwise_energy(kind, u, v, **kw)
-    n = int(v.shape[0])
-    q = int(mesh.shape["data"])
-    uj, vj = jnp.asarray(u), jnp.asarray(v)
-    pad = (-n) % q
-    if pad:
-        vj = jnp.concatenate(
-            [vj, jnp.broadcast_to(vj[-1:], (pad,) + vj.shape[1:])])
+    shape = dict(mesh.shape)
+    q, p = shape.get("data", 1), shape.get("model", 1)
+    if q <= 1 and p <= 1:
+        return pairwise_energy(kind, u, v, **kw)
+    uj = _pad_rows(jnp.asarray(u), p)
+    vj = _pad_rows(jnp.asarray(v), q)
     fn = _sharded_pairwise_fn(kind, mesh, tuple(sorted(kw.items())))
-    return fn(uj, vj)[:, :n]
+    return fn(uj, vj)[:m, :n]

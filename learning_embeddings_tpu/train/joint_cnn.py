@@ -261,6 +261,28 @@ class JointCNNTrainer:
             labels=load_label_table(self.params["labels"], table,
                                     self.cfg.energy, self.K))
 
+    def load_tower_trunk(self, trunk_params, trunk_stats) -> None:
+        """Warm-start the image tower's trunk from a finetuned classifier —
+        the reference's FeatCNN workflow (oe.py:232-289 loads a trained
+        resnet50 through `Inference` into the joint tower; oe_h.py:1394-1409
+        wires it under --use_CNN). The projection head ('fc') stays freshly
+        initialized: the classifier head has classifier shapes. Both models
+        build the trunk through the same BACKBONES entry (heads.py /
+        embedder.py, name='trunk'), so the pytrees line up structurally."""
+        cur = set(self.params["images"]["trunk"])
+        new = set(trunk_params)
+        if cur != new:
+            raise ValueError(
+                f"trunk param mismatch: only-ours={sorted(cur - new)[:4]} "
+                f"only-theirs={sorted(new - cur)[:4]} (stem/backbone must "
+                f"match the classifier's)")
+        images = dict(self.params["images"],
+                      trunk=jax.tree_util.tree_map(jnp.asarray, trunk_params))
+        self.params = dict(self.params, images=images)
+        self.batch_stats = dict(
+            self.batch_stats,
+            trunk=jax.tree_util.tree_map(jnp.asarray, trunk_stats))
+
     def levels_for_epoch(self, epoch: int) -> Tuple[int, ...]:
         return curriculum_levels_for_epoch(self.curriculum, epoch)
 

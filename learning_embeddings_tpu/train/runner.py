@@ -627,6 +627,7 @@ def run_joint_cnn(
     mesh=None,
     init_embeddings: Optional[np.ndarray] = None,
     init_threshold: Optional[float] = None,
+    init_tower: Optional[tuple] = None,   # (trunk_params, trunk_stats)
     train_eval_loader=None,
 ):
     """--use_CNN joint runner: same experiment contract as the fc7 path
@@ -649,6 +650,10 @@ def run_joint_cnn(
         trainer.load_embedding_table(init_embeddings)
     if init_threshold is not None:
         trainer.optimal_threshold = float(init_threshold)
+    if init_tower is not None:
+        # the reference's two-stage FeatCNN recipe: the joint image tower
+        # starts from a finetuned classifier's trunk (oe.py:232-289)
+        trainer.load_tower_trunk(*init_tower)
 
     def eval_split(split):
         held_out = bool(eval_sets and split in eval_sets)

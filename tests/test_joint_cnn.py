@@ -242,6 +242,50 @@ def test_load_embedding_table_warm_start(setup):
     assert (norms >= r0 - 1e-6).all() and (norms < 1.0).all()
 
 
+def test_load_tower_trunk_two_stage(setup):
+    """The reference's two-stage FeatCNN workflow (oe.py:232-289): the
+    joint image tower's trunk warm-starts from a FINETUNED classifier's
+    trunk (same backbone), the projection head stays freshly initialized,
+    and mismatched trunks are rejected."""
+    import jax
+
+    from learning_embeddings_tpu.train.classifier import (ClassifierConfig,
+                                                          ClassifierTrainer)
+
+    lm, graph, train_edges, loader, leaves = setup
+    ccfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                            lr=1e-3, optimizer="adam", image_size=24,
+                            batch_size=4, seed=1)
+    cls = ClassifierTrainer(lm, ccfg, mesh=None)
+    trunk_p = jax.tree_util.tree_map(np.asarray, cls.state.params["trunk"])
+    trunk_s = jax.tree_util.tree_map(np.asarray,
+                                     cls.state.batch_stats["trunk"])
+
+    cfg = JointCNNConfig(energy="hyp_cone", backbone="resnet18",
+                         embedding_dim=4, image_size=24, batch_size=8,
+                         neg_to_pos_ratio=2, seed=0)
+    tr = JointCNNTrainer(lm, graph, train_edges, loader, cfg)
+    fc_before = jax.tree_util.tree_map(np.asarray, tr.params["images"]["fc"])
+    tr.load_tower_trunk(trunk_p, trunk_s)
+    for a, b in zip(jax.tree_util.tree_leaves(trunk_p),
+                    jax.tree_util.tree_leaves(tr.params["images"]["trunk"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(trunk_s),
+                    jax.tree_util.tree_leaves(tr.batch_stats["trunk"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # the projection head is NOT touched (classifier heads have classifier
+    # shapes; the reference re-initializes FeatCNN's projection too)
+    for a, b in zip(jax.tree_util.tree_leaves(fc_before),
+                    jax.tree_util.tree_leaves(tr.params["images"]["fc"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # the warmed tower still trains
+    loss, _, _ = tr.train_batch(train_edges[:8, 0], train_edges[:8, 1])
+    assert np.isfinite(loss)
+    # a structurally different trunk (e.g. another backbone) is rejected
+    with pytest.raises(ValueError, match="trunk param mismatch"):
+        tr.load_tower_trunk({"bogus": 1}, trunk_s)
+
+
 def test_eval_max_images_caps_and_logs(setup, tmp_path, capsys):
     """--eval_max_images: the eval-split cap is applied AND logged (the
     repo's no-silent-caps rule; the r2 CNN path silently capped at 512)."""

@@ -20,6 +20,11 @@ warm_ckpt: optional path to a label-embedding checkpoint (weights/<name>)
 whose table + calibrated threshold warm-start the label side — the
 reference's own remedy for hard cone optimization (--load_emb_from,
 oe_h.py:1435-1436). Adds '_warm' to the result key.
+
+LE_Q3_RESUME=1: resume the named experiment from its latest numbered
+checkpoint (the runner's --resume contract) — used to finish legs that a
+host reset killed mid-run. The banks are deterministic (tools/
+flagship_data.py), so a resumed run continues on identical data.
 """
 
 import json
@@ -33,13 +38,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.getcwd(), ".jax_cache"))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from __graft_entry__ import _ethec_labelmap
 from learning_embeddings_tpu.losses.joint_sampling import build_joint_graph
 from learning_embeddings_tpu.train.joint_cnn import JointCNNConfig
 from learning_embeddings_tpu.train.runner import run_joint_cnn
+from tools.flagship_data import device_loader, make_bank, make_patterns
 
 EXP_DIR = "experiments/quality_r3"
 OUT = os.path.join(EXP_DIR, "results.json")
@@ -61,39 +66,10 @@ NAME = (f"joint_cnn_flagship_{N_EPOCHS}ep_{N_PER_LEAF}perleaf"
 t0 = time.time()
 lm = _ethec_labelmap()
 n_leaves = lm.levels[-1]
-rng = np.random.RandomState(0)
-
 # one 8x8x3 uint8 pattern per leaf (separable); upsample + noise on device
-patterns = rng.randint(0, 256, (n_leaves, 8, 8, 3)).astype(np.uint8)
-
-
-def make_bank(leaves, salt):
-    """(n, SIZE, SIZE, 3) uint8 device bank: pattern[leaf] upsampled +
-    per-image noise (deterministic per salt). Built in 128-row chunks so
-    the int32 noise temporaries stay small in HBM."""
-    @jax.jit
-    def chunk(small, key):
-        up = jnp.repeat(jnp.repeat(small, SIZE // 8, 1), SIZE // 8, 2)
-        noise = jax.random.randint(key, up.shape, -25, 26, jnp.int32)
-        return jnp.clip(up.astype(jnp.int32) + noise, 0, 255).astype(
-            jnp.uint8)
-
-    n, C = len(leaves), 128
-    pad = -(-n // C) * C if n > C else n
-    rows = np.resize(np.asarray(leaves), pad)
-    parts = [chunk(jnp.asarray(patterns[rows[i:i + C]]),
-                   jax.random.PRNGKey(salt * 100003 + i))
-             for i in range(0, pad, C)]
-    return jnp.concatenate(parts)[:n]
-
-
-def device_loader(bank):
-    n = bank.shape[0]
-
-    def load(rows):
-        return bank[jnp.asarray(np.asarray(rows) % n)]
-    return load
-
+# (moved verbatim to tools/flagship_data.py so the two-stage recipe shares
+# byte-identical banks)
+patterns = make_patterns(n_leaves)
 
 train_leaves = np.repeat(np.arange(n_leaves), N_PER_LEAF)
 eval_leaves = np.arange(n_leaves)
@@ -103,9 +79,9 @@ print(f"graph: {graph.n_labels} labels + {graph.n_images} train images, "
       f"{len(train_edges)} edges", flush=True)
 
 banks = {
-    "train": make_bank(train_leaves, 1),
-    "val": make_bank(eval_leaves, 2),
-    "test": make_bank(eval_leaves, 3),
+    "train": make_bank(patterns, train_leaves, 1, SIZE),
+    "val": make_bank(patterns, eval_leaves, 2, SIZE),
+    "test": make_bank(patterns, eval_leaves, 3, SIZE),
 }
 eval_paths = lm.leaf_paths()[eval_leaves] + np.asarray(
     lm.level_start)[None, :]
@@ -143,6 +119,7 @@ if WARM_CKPT:
 res = run_joint_cnn(
     lm, graph, train_edges, device_loader(banks["train"]), cfg,
     experiment_dir=EXP_DIR, experiment_name=NAME,
+    resume=bool(int(os.environ.get("LE_Q3_RESUME", "0"))),
     n_epochs=N_EPOCHS, eval_interval=4,
     eval_sets={s: (eval_paths, device_loader(banks[s]))
                for s in ("val", "test")},

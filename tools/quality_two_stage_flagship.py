@@ -1,0 +1,192 @@
+"""The reference's two-stage FeatCNN recipe on the flagship (VERDICT r4 #2):
+
+  stage 1 — finetune a 723-node multi-head classifier (resnet50@448,
+            MultiLevelCE) on the SAME deterministic pixel banks the joint
+            flagship trains on (tools/flagship_data.py);
+  stage 2 — train the `--use_CNN` joint flagship with the image tower
+            warm-started from that classifier's trunk (+ the label table
+            warm-started from a converged label-only run).
+
+This is the reference's own workflow: `FeatCNN` loads a *finetuned*
+resnet50 through `Inference` into the joint tower (oe.py:232-289), and the
+joint runs load the label table via --load_emb_from (oe_h.py:1435-1436).
+Round 3/4 measured the table-only warm start (neutral at fc7 convergence;
+leaf hit@1 still ~0 on the CNN flagship) — this run adds the tower leg,
+the most plausible fix for the starved leaf levels.
+
+Run:  python tools/quality_two_stage_flagship.py [n_epochs] [n_per_leaf] \
+          [warm_label_ckpt]
+      (cwd /root/repo for the axon TPU plugin; ~3-4 h at defaults)
+
+CPU smoke: LE_Q3_SIZE=32 LE_Q3_BACKBONE=resnet18 LE_TS_STEPS=30 \
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python tools/quality_two_stage_flagship.py 1 1
+"""
+
+import json
+import os
+import sys
+import time
+
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.getcwd())
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _ethec_labelmap
+from learning_embeddings_tpu.eval.metrics import multilevel_metrics
+from learning_embeddings_tpu.losses.joint_sampling import build_joint_graph
+from learning_embeddings_tpu.train.classifier import (ClassifierConfig,
+                                                      ClassifierTrainer)
+from learning_embeddings_tpu.train.joint_cnn import JointCNNConfig
+from learning_embeddings_tpu.train.runner import run_joint_cnn
+from tools.flagship_data import device_loader, make_bank, make_patterns
+
+EXP_DIR = "experiments/quality_r3"
+OUT = os.path.join(EXP_DIR, "results.json")
+
+N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+N_PER_LEAF = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+WARM_CKPT = sys.argv[3] if len(sys.argv) > 3 else None
+SIZE = int(os.environ.get("LE_Q3_SIZE", 448))
+BACKBONE = os.environ.get("LE_Q3_BACKBONE", "resnet50")
+CLS_STEPS = int(os.environ.get("LE_TS_STEPS", 1200))
+CLS_BS = int(os.environ.get("LE_TS_BS", 32))
+NAME = (f"joint_cnn_flagship_{N_EPOCHS}ep_{N_PER_LEAF}perleaf"
+        + ("" if (SIZE, BACKBONE) == (448, "resnet50")
+           else f"_{BACKBONE}{SIZE}")
+        + "_twostage")
+
+t0 = time.time()
+lm = _ethec_labelmap()
+n_leaves = lm.levels[-1]
+patterns = make_patterns(n_leaves)
+
+train_leaves = np.repeat(np.arange(n_leaves), N_PER_LEAF)
+eval_leaves = np.arange(n_leaves)
+banks = {
+    "train": make_bank(patterns, train_leaves, 1, SIZE),
+    "val": make_bank(patterns, eval_leaves, 2, SIZE),
+    "test": make_bank(patterns, eval_leaves, 3, SIZE),
+}
+
+# ---------------------------------------------------------------- stage 1
+# classifier finetune on the train bank (the joint run's exact pixels)
+paths = lm.leaf_paths().astype(np.int32)
+tr_ll = paths[train_leaves]
+ev_ll = paths[eval_leaves]
+level_start = np.asarray(lm.level_start)
+
+cls_cfg = ClassifierConfig(backbone=BACKBONE, criterion="multi_level_ce",
+                           lr=1e-3, optimizer="adam", image_size=SIZE,
+                           batch_size=CLS_BS, seed=0,
+                           remat=(SIZE >= 448))
+cls = ClassifierTrainer(lm, cls_cfg, mesh=None)
+
+tr_ll_dev = jnp.asarray(tr_ll)
+mh = np.zeros((len(train_leaves), lm.n_classes), np.float32)
+mh[np.arange(len(train_leaves))[:, None], tr_ll + level_start] = 1.0
+mh_dev = jnp.asarray(mh)
+bank_tr = banks["train"]
+
+
+@jax.jit
+def gather(idx):
+    return bank_tr[idx], tr_ll_dev[idx], mh_dev[idx]
+
+
+rng = np.random.RandomState(17)
+n_train = len(train_leaves)
+order = np.concatenate([rng.permutation(n_train)
+                        for _ in range(CLS_STEPS * CLS_BS // n_train + 2)])
+state = cls.state
+t_cls = time.time()
+for s in range(CLS_STEPS):
+    idx = jnp.asarray(order[s * CLS_BS:(s + 1) * CLS_BS])
+    state, loss = cls.train_step(state, *gather(idx))
+    if s % 100 == 0:
+        print(f"[stage1] step {s} loss {float(loss):.4f} "
+              f"({time.time() - t_cls:.0f}s)", flush=True)
+
+# held-out eval on the val bank (sanity: the tower must actually be good
+# before the transfer claim means anything)
+ev_mh = np.zeros((n_leaves, lm.n_classes), np.float32)
+ev_mh[np.arange(n_leaves)[:, None], ev_ll + level_start] = 1.0
+scores = []
+for s in range(0, n_leaves, CLS_BS):
+    _, sc = cls.eval_step(state, banks["val"][s:s + CLS_BS],
+                          jnp.asarray(ev_ll[s:s + CLS_BS]),
+                          jnp.asarray(ev_mh[s:s + CLS_BS]))
+    scores.append(np.asarray(sc))
+m = multilevel_metrics(np.concatenate(scores), ev_ll, lm)
+cls_metrics = {f"cls_level{l}_micro_f1": round(float(lev.f1_micro), 4)
+               for l, lev in enumerate(m["levels"])}
+cls_metrics["cls_global_micro_f1"] = round(m["micro"]["f1"], 4)
+cls_metrics["cls_final_loss"] = round(float(loss), 4)
+cls_metrics["cls_wall_s"] = round(time.time() - t_cls, 1)
+print(f"[stage1] done: {cls_metrics}", flush=True)
+
+trunk_params = jax.tree_util.tree_map(np.asarray, state.params["trunk"])
+trunk_stats = jax.tree_util.tree_map(np.asarray, state.batch_stats["trunk"])
+del state, cls, mh_dev, tr_ll_dev  # free HBM before the joint stage
+
+# ---------------------------------------------------------------- stage 2
+ll_train = lm.leaf_paths()[train_leaves]
+graph, train_edges = build_joint_graph(lm, ll_train)
+print(f"graph: {graph.n_labels} labels + {graph.n_images} train images, "
+      f"{len(train_edges)} edges", flush=True)
+eval_paths = lm.leaf_paths()[eval_leaves] + level_start[None, :]
+
+cfg = JointCNNConfig(
+    energy="hyp_cone", backbone=BACKBONE, embedding_dim=10,
+    image_size=SIZE, lr_labels=1e-3, lr_images=1e-3, batch_size=10,
+    neg_to_pos_ratio=5, alpha=0.05, optimizer_labels="adam",
+    pick_per_level=True, half_half=True,
+    curriculum={0: (1, 2, 3), 5: (2, 3), 12: (3,), 25: ()},
+    seed=0, pixel_bucket=64, inflight_steps=2, remat=True)
+
+init_embeddings, init_threshold = None, None
+if WARM_CKPT:
+    from learning_embeddings_tpu.train.experiment import (Checkpointer,
+                                                          ExperimentDir)
+
+    wdir, wname = os.path.split(os.path.abspath(WARM_CKPT))
+    exp_root, exp_name = os.path.split(os.path.dirname(wdir))
+    payload = Checkpointer(ExperimentDir(exp_root, exp_name)).load_raw(wname)
+    table = [np.asarray(p) for p in jax.tree_util.tree_leaves(
+        payload["params"]) if getattr(p, "ndim", 0) == 2]
+    assert len(table) == 1, [t.shape for t in table]
+    init_embeddings = table[0]
+    thr = float(payload.get("optimal_threshold", float("nan")))
+    init_threshold = None if np.isnan(thr) else thr
+    print(f"warm start: table {init_embeddings.shape} from {WARM_CKPT}, "
+          f"threshold={init_threshold}", flush=True)
+
+res = run_joint_cnn(
+    lm, graph, train_edges, device_loader(banks["train"]), cfg,
+    experiment_dir=EXP_DIR, experiment_name=NAME,
+    resume=bool(int(os.environ.get("LE_Q3_RESUME", "0"))),
+    n_epochs=N_EPOCHS, eval_interval=4,
+    eval_sets={s: (eval_paths, device_loader(banks[s]))
+               for s in ("val", "test")},
+    init_embeddings=init_embeddings, init_threshold=init_threshold,
+    init_tower=(trunk_params, trunk_stats),
+    manifest_args={"loss": "hyp_cones_loss", "use_CNN": "True",
+                   "hide_levels": "True", "half_half": "True",
+                   "load_emb_from": str(WARM_CKPT),
+                   "two_stage_tower": "classifier-multi_level_ce"})
+
+flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
+flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
+flat.update(cls_metrics)
+flat["wall_s"] = round(time.time() - t0, 1)
+os.makedirs(EXP_DIR, exist_ok=True)
+results = json.load(open(OUT)) if os.path.exists(OUT) else {}
+results[NAME] = flat
+with open(OUT, "w") as f:
+    json.dump(results, f, indent=2)
+print("==", flat, flush=True)
