@@ -53,7 +53,8 @@ REF = "/root/reference"
 # in-process does not undo that — so re-exec with a clean environment
 # (same guard as run_cpu_batch_r4.py; during a backend outage an
 # accidental axon init hangs ~25 min before erroring).
-if os.environ.get("PALLAS_AXON_POOL_IPS"):
+if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
+        "LE_AB_TPU"):    # LE_AB_TPU=1: rebuild legs may use the TPU chip
     _env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     os.execve(sys.executable, [sys.executable] + sys.argv, _env)
 
@@ -379,15 +380,118 @@ def setup_joint_sandbox():
     return db_dir, emb_dir
 
 
-def run_joint_fc7(n_epochs, lr=0.01):
+def setup_joint_sandbox_full():
+    """REAL-SCALE joint fc7 A/B data (VERDICT r4 #5): the full 723-node
+    taxonomy with the shipped splits — train = the merged val+test pool
+    (the label-only A/B's protocol: upstream train.json is gitignored,
+    oe_h.py:2308-2316 reads ../database/ETHEC/train.json), val/test = the
+    shipped splits verbatim — plus synthetic separable 2048-d fc7 dicts
+    for every image (the reduced sandbox's per-leaf gaussian protocol,
+    dict values as float32 arrays). Lives in its OWN tree
+    (full/database/ETHEC + full/run) so the reduced sandbox and the
+    label-only DB swaps are untouched. Returns (db_dir, emb_dir,
+    run_cwd)."""
+    import numpy as np
+    import zlib
+
+    root = os.path.join(AB_ROOT, "full")
+    db_dir = os.path.join(root, "database", "ETHEC")
+    emb_dir = os.path.join(db_dir, "ETHEC_embeddings")
+    run_cwd = os.path.join(root, "run")
+    os.makedirs(run_cwd, exist_ok=True)
+    done = os.path.join(emb_dir, "test.npy")
+    if os.path.exists(done):
+        return db_dir, emb_dir, run_cwd
+    os.makedirs(emb_dir, exist_ok=True)
+
+    def load_merged_format(split):
+        # same merged-epithet rewrite as setup_sandbox (db.py:1848/3861)
+        with open(os.path.join(REF, "splits", "ETHEC",
+                               f"{split}.json")) as f:
+            recs = json.load(f)
+        for r in recs.values():
+            if not r["specific_epithet"].startswith(r["genus"] + "_"):
+                r["specific_epithet"] = (r["genus"] + "_"
+                                         + r["specific_epithet"])
+        return recs
+
+    def fkey(r):
+        # the dataset's image_filename rule (db.py:3857)
+        return (r["image_path"] if ".JPG" in r["image_path"]
+                else r["image_name"])
+
+    def dedupe(recs, split):
+        # the shipped splits contain records sharing one image file (390
+        # duplicate filenames in the merged pool, incl. 51 val/test
+        # overlaps); the reference's graph keys image nodes by FILENAME
+        # (oe_h.py:527-531), silently collapsing them, while the rebuild
+        # builds one node per record. Drop duplicates (first token wins,
+        # deterministic) so both sides train on the identical node set —
+        # and log the cap (no-silent-caps rule).
+        out, seen = {}, {}
+        for tok in sorted(recs):
+            r = recs[tok]
+            k = fkey(r)
+            if k in seen:
+                assert seen[k] == r["specific_epithet"], (
+                    f"duplicate {k} with conflicting labels")
+                continue
+            seen[k] = r["specific_epithet"]
+            out[tok] = r
+        print(f"[sandbox_full] {split}: {len(recs)} records -> "
+              f"{len(out)} unique images "
+              f"({len(recs) - len(out)} duplicate filenames dropped)",
+              flush=True)
+        return out
+
+    val = dedupe(load_merged_format("val"), "val")
+    test = dedupe(load_merged_format("test"), "test")
+    train = dict(val)
+    train.update(test)
+    train = dedupe(train, "train(=val+test)")
+    splits = {"train": train, "val": val, "test": test}
+    for split, recs in splits.items():
+        # upstream eval-slice guard (oe_h.py:1995-2002): n % 10 == 1
+        # would crash the metric loop; the shipped splits are safe
+        assert len(recs) % 10 != 1, (split, len(recs))
+        with open(os.path.join(db_dir, f"{split}.json"), "w") as f:
+            json.dump(recs, f)
+
+    # separable fc7 features: per-leaf gaussian centers + per-image noise
+    # deterministic in the filename (identical protocol/constants to
+    # setup_joint_sandbox so scales are comparable)
+    leaf_names = sorted({r["specific_epithet"] for r in train.values()})
+    leaf_ix = {n: i for i, n in enumerate(leaf_names)}
+    rng = np.random.RandomState(0)
+    mu = rng.randn(len(leaf_names), 2048).astype(np.float32)
+    for split, recs in splits.items():
+        d = {}
+        for tok in sorted(recs):
+            r = recs[tok]
+            key = fkey(r)
+            nrng = np.random.RandomState(zlib.crc32(key.encode()) % (2**31))
+            d[key] = (mu[leaf_ix[r["specific_epithet"]]]
+                      + 0.15 * nrng.randn(2048).astype(np.float32))
+        np.save(os.path.join(emb_dir, f"{split}.npy"),
+                np.array(d, dtype=object), allow_pickle=True)
+    return db_dir, emb_dir, run_cwd
+
+
+def run_joint_fc7(n_epochs, lr=0.01, full=False):
     """A/B the reference's JOINT fc7 trainer (oe_h.py JointEmbeddings,
     hyperbolic cones, FeatNet on fc7, plain config: no curriculum, no
-    half_half, pick_per_level, dim 10, ratio 5, bs 10, adam lr=0.01)."""
+    half_half, pick_per_level, dim 10, ratio 5, bs 10, adam lr=0.01).
+    full=True runs at REAL SCALE (shipped splits, 723 labels + 10335
+    train images) instead of the reduced 2/1/1-per-leaf sandbox."""
     import numpy as np
 
-    db_dir, emb_dir = setup_joint_sandbox()
+    if full:
+        db_dir, emb_dir, run_cwd = setup_joint_sandbox_full()
+    else:
+        db_dir, emb_dir = setup_joint_sandbox()
+        run_cwd = os.path.join(AB_ROOT, "run")
     setup_modules()
-    os.chdir(os.path.join(AB_ROOT, "run"))
+    os.chdir(run_cwd)
 
     # the reference loads its fc7 dicts with bare np.load (numpy<1.16
     # semantics); modern numpy needs allow_pickle
@@ -399,7 +503,7 @@ def run_joint_fc7(n_epochs, lr=0.01):
 
     fast_sweep(mod.EmbeddingMetrics)
 
-    name = f"joint_fc7_ep{n_epochs}_lr{lr}"
+    name = f"joint_fc7{'_full' if full else ''}_ep{n_epochs}_lr{lr}"
     args = argparse.Namespace(
         debug=False, lr=lr, alpha=0.05, batch_size=10,
         load_G_from_disk=False, experiment_name=name,
@@ -435,7 +539,8 @@ def run_joint_fc7(n_epochs, lr=0.01):
         log_text = f.read()
     results = parse_joint_final(log_text)
     results.update(status=status, wall_s=round(time.time() - t0, 1),
-                   kind="joint_fc7", lr=lr, n_epochs=n_epochs)
+                   kind="joint_fc7_full" if full else "joint_fc7",
+                   lr=lr, n_epochs=n_epochs)
     res_path = os.path.join(AB_ROOT, "results.json")
     blob = {}
     if os.path.exists(res_path):
@@ -470,15 +575,23 @@ def parse_joint_final(log_text):
     return out
 
 
-def run_rebuild_joint_fc7(n_epochs, lr=0.01):
+def run_rebuild_joint_fc7(n_epochs, lr=0.01, full=False):
     """The rebuild's fc7 joint trainer on the IDENTICAL sandbox data the
-    reference joint_fc7 run consumes (same reduced splits, same fc7
-    feature dicts, same hyperparameters) — the two-column joint A/B."""
+    reference joint_fc7 run consumes (same splits, same fc7 feature
+    dicts, same hyperparameters) — the two-column joint A/B. full=True
+    reads the real-scale tree (setup_joint_sandbox_full); set LE_AB_TPU=1
+    to run this leg on the attached TPU chip (cwd must be /root/repo at
+    launch) instead of forcing CPU."""
     import numpy as np
 
-    db_dir, emb_dir = setup_joint_sandbox()
-    os.environ["PALLAS_AXON_POOL_IPS"] = ""
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    if full:
+        jdir, emb_dir, _ = setup_joint_sandbox_full()
+    else:
+        db_dir, emb_dir = setup_joint_sandbox()
+        jdir = os.path.join(AB_ROOT, "database", "ETHEC_joint")
+    if not os.environ.get("LE_AB_TPU"):
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
     sys.path.insert(0, REPO)
 
     from learning_embeddings_tpu.hierarchy import labelmap_from_records
@@ -487,7 +600,6 @@ def run_rebuild_joint_fc7(n_epochs, lr=0.01):
     from learning_embeddings_tpu.train.joint import JointTrainerConfig
     from learning_embeddings_tpu.train.runner import run_joint_embedding
 
-    jdir = os.path.join(AB_ROOT, "database", "ETHEC_joint")
     splits, feats = {}, {}
     for split in ("train", "val", "test"):
         with open(os.path.join(jdir, f"{split}.json")) as f:
@@ -520,7 +632,7 @@ def run_rebuild_joint_fc7(n_epochs, lr=0.01):
         energy="hyp_cone", embedding_dim=10, feature_dim=2048,
         lr_labels=lr, lr_images=1e-3, batch_size=10, neg_to_pos_ratio=5,
         alpha=0.05, optimizer_labels="adam", pick_per_level=True, seed=0)
-    name = f"rebuild_joint_fc7_ep{n_epochs}_lr{lr}"
+    name = f"rebuild_joint_fc7{'_full' if full else ''}_ep{n_epochs}_lr{lr}"
     t0 = time.time()
     res = run_joint_embedding(
         lm, graph, train_edges, feats["train"], cfg,
@@ -532,7 +644,9 @@ def run_rebuild_joint_fc7(n_epochs, lr=0.01):
         manifest_args={"ab": "joint_fc7"})
     flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
     flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
-    flat.update(wall_s=round(time.time() - t0, 1), kind="rebuild_joint_fc7",
+    flat.update(wall_s=round(time.time() - t0, 1),
+                kind=("rebuild_joint_fc7_full" if full
+                      else "rebuild_joint_fc7"),
                 lr=lr, n_epochs=n_epochs)
     res_path = os.path.join(AB_ROOT, "results.json")
     blob = json.load(open(res_path)) if os.path.exists(res_path) else {}
@@ -854,8 +968,37 @@ def _ref_level_metrics_from_npy(npy_dir):
     return out
 
 
+def _parse_ml_summary(exp_dir):
+    """Per-level metrics for the multi_label leg from the reference's OWN
+    MultiLabelEvaluation: the best-model test pass writes
+    stats/best_test<epoch>/summary.md with a Global Metrics table and one
+    table per level (evaluation.py:235-266). The thresholded decode lives
+    only inside the training process (optimal_thresholds), so the npy
+    re-evaluation used for the MLEVAL criteria does not apply here."""
+    import glob
+
+    dirs = sorted(glob.glob(os.path.join(exp_dir, "stats", "best_test*")),
+                  key=os.path.getmtime)
+    if not dirs:
+        return {}
+    text = open(os.path.join(dirs[-1], "summary.md")).read()
+    out = {}
+    # '## <name> Metrics' headings followed by a Macro/Micro table whose
+    # columns are Precision | Recall | F1 | Accuracy
+    for m in re.finditer(
+            r"## (.+?) Metrics\s*\n\n(?:\|[^\n]*\n){2}"
+            r"\| \*\*Macro\*\* \| ([0-9.e-]+) \| ([0-9.e-]+) \| "
+            r"([0-9.e-]+) \| ([0-9.e-]+) \|"
+            r"[^\n]*\n\| \*\*Micro\*\* \| ([0-9.e-]+) \| ([0-9.e-]+) \| "
+            r"([0-9.e-]+) \|", text):
+        key = m.group(1).strip().lower().replace(" ", "_")
+        out[f"test_{key}_macro_f1"] = float(m.group(4))
+        out[f"test_{key}_micro_f1"] = float(m.group(8))
+    return out
+
+
 def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001,
-                       use_2d=False):
+                       use_2d=False, revive_ml=False):
     """A/B the reference's multi-head CNN classifier — the LAST family
     never run upstream: ETHEC_train_model --debug
     (ethec_experiments.py:243-434), the real CIFAR10/ETHECExperiment
@@ -892,6 +1035,40 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001,
 
     import network.ethec_experiments as mod
 
+    if revive_ml:
+        # Upstream bitrot revival #2 (evaluator contract, one-line fix):
+        # finetuner.py:267 unpacks `metrics, level_wise_metrics` from
+        # eval.evaluate, but MultiLabelEvaluation.evaluate — the ML path
+        # every multi_label run uses — returns ONLY global_metrics
+        # (evaluation.py:196-287); MultiLevelEvaluation honors the
+        # two-tuple contract. First recorded verbatim as
+        # classifier_multi_label_ep1_lr0.001 (ValueError: too many values
+        # to unpack). The upstream fix is `return global_metrics,
+        # level_wise_metrics`; since level_wise_metrics is a local, the
+        # shim re-runs the function's OWN per-level loop (same
+        # MetricsMultiLevel over the same self.predicted_labels set by
+        # the original call — byte-identical inputs, pure computation)
+        # and returns the pair.
+        import network.evaluation as ev
+
+        _orig_evaluate = ev.MultiLabelEvaluation.evaluate
+
+        def _evaluate_pair(self, predicted_scores, correct_labels,
+                           *a, **kw):
+            gm = _orig_evaluate(self, predicted_scores, correct_labels,
+                                *a, **kw)
+            level_wise, start = {}, 0
+            for level_id, level_len in enumerate(self.labelmap.levels):
+                calc = ev.MetricsMultiLevel(self.predicted_labels,
+                                            correct_labels)
+                level_wise[self.labelmap.level_names[level_id]] = (
+                    calc.calculate_basic_metrics(
+                        list(range(start, start + level_len))))
+                start += level_len
+            return gm, level_wise
+
+        ev.MultiLabelEvaluation.evaluate = _evaluate_pair
+
     if use_2d:
         # Upstream bitrot revival (one class attribute): ETHEC2D skips
         # CIFAR10.__init__ so it never sets model_name, and the driver's
@@ -905,7 +1082,8 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001,
         # experiments/ref_ab/results.json.
         mod.ETHEC2D.model_name = "cnn2d"
 
-    name = f"classifier{'2d' if use_2d else ''}_{loss}_ep{n_epochs}_lr{lr}"
+    name = (f"classifier{'2d' if use_2d else ''}_{loss}"
+            f"{'_revived' if revive_ml else ''}_ep{n_epochs}_lr{lr}")
     args = argparse.Namespace(
         debug=True, lr=lr, batch_size=10, evaluator="ML",
         experiment_name=name, experiment_dir=AB_ROOT + "/",
@@ -944,9 +1122,20 @@ def run_classifier_ref(n_epochs, loss="multi_level", lr=0.001,
     m = re.findall(r"Best val score: ([0-9.]+)", log_text)
     if m:
         results["best_val_micro_f1"] = float(m[-1])
+    # the finetuner's own per-phase print ('{} Loss: .. Score: ..',
+    # finetuner.py:298); the LAST test line is the post-best-reload pass
+    m = re.findall(r"test Loss: [0-9.eE+-]+ Score: ([0-9.]+)", log_text)
+    if m:
+        results["test_micro_f1_log"] = float(m[-1])
     try:
-        results.update(_ref_level_metrics_from_npy(
-            os.path.join(AB_ROOT, name)))
+        if revive_ml:
+            # npy re-evaluation decodes by argmax (MultiLevelEvaluation);
+            # the multi_label leg's native decode is thresholded — parse
+            # the reference evaluator's own summary.md tables instead
+            results.update(_parse_ml_summary(os.path.join(AB_ROOT, name)))
+        else:
+            results.update(_ref_level_metrics_from_npy(
+                os.path.join(AB_ROOT, name)))
     except Exception as e:
         results["level_metrics_error"] = repr(e)[:200]
     results.update(status=status, wall_s=round(time.time() - t0, 1),
@@ -1083,11 +1272,13 @@ if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     lr = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    if kind == "joint_fc7":
-        run_joint_fc7(n_epochs, lr if lr is not None else 0.01)
+    if kind in ("joint_fc7", "joint_fc7_full"):
+        run_joint_fc7(n_epochs, lr if lr is not None else 0.01,
+                      full=kind.endswith("_full"))
         sys.exit(0)
-    if kind == "rebuild_joint_fc7":
-        run_rebuild_joint_fc7(n_epochs, lr if lr is not None else 0.01)
+    if kind in ("rebuild_joint_fc7", "rebuild_joint_fc7_full"):
+        run_rebuild_joint_fc7(n_epochs, lr if lr is not None else 0.01,
+                              full=kind.endswith("_full"))
         sys.exit(0)
     if kind == "joint_cnn":
         run_joint_cnn_ref(n_epochs, lr if lr is not None else 0.01)
@@ -1102,10 +1293,13 @@ if __name__ == "__main__":
         use_2d = "classifier2d_" in kind
         loss = kind.split("classifier2d_" if use_2d else "classifier_",
                           1)[1]
+        kw = {}
+        if loss == "multi_label_revived":     # evaluator-contract revival
+            loss, kw = "multi_label", {"revive_ml": True}
         fn = (run_rebuild_classifier if kind.startswith("rebuild_")
               else run_classifier_ref)
         fn(n_epochs, loss=loss, lr=lr if lr is not None else 0.001,
-           use_2d=use_2d)
+           use_2d=use_2d, **kw)
         sys.exit(0)
     if kind == "all":
         # separate processes: the reference modules seed global RNGs and
