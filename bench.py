@@ -451,8 +451,10 @@ def _stale_fallback():
     import sys
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
         else "default"
-    candidates = sorted(glob.glob(f"experiments/r*_tpu/*/bench_{mode}.json"),
-                        key=os.path.getmtime, reverse=True)
+    candidates = sorted(
+        glob.glob(f"experiments/r*_tpu/*/bench_{mode}.json")
+        + glob.glob(f"experiments/r*_tpu/bench_{mode}.json"),
+        key=os.path.getmtime, reverse=True)
     for path in candidates:
         try:
             lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
