@@ -44,6 +44,16 @@ def build_parser(default_energy: str):
     parser.add_argument("--load_emb_from", type=str, default=None,
                         help="Path to a pretrained label-embedding table")
     parser.add_argument("--load_cosine_emb", type=str, default=None)
+    parser.add_argument("--load_tower_from", type=str, default=None,
+                        help="--use_CNN only: warm-start the image tower's "
+                             "trunk from a FINETUNED classifier checkpoint "
+                             "(weights/<name> dir) — the reference's "
+                             "two-stage FeatCNN workflow (oe.py:232-289 "
+                             "loads a trained resnet50 through Inference; "
+                             "upstream hard-codes the classifier experiment "
+                             "path, here it is a flag). The checkpoint's "
+                             "trunk must match --model; the projection "
+                             "head stays freshly initialized.")
     parser.add_argument("--image_dir", type=str, required=True)
     parser.add_argument("--embedding_dim", type=int, default=10)
     parser.add_argument("--neg_to_pos_ratio", type=int, default=5)
@@ -125,6 +135,33 @@ def load_warm_start(args, n_labels: int):
     return None, None
 
 
+def load_tower_warm_start(args):
+    """init_tower = (trunk_params, trunk_stats) for the --use_CNN image
+    tower, from a finetuned classifier checkpoint (--load_tower_from) —
+    the reference's two-stage FeatCNN recipe (oe.py:232-289). Classifier
+    checkpoints store {params: {trunk, heads...}, batch_stats: {trunk}}
+    (train/classifier.py checkpoint_payload); only the trunk transfers,
+    matching FeatCNN's re-initialized projection. Raw (host-numpy)
+    restore so cross-backend checkpoints load (CPU-trained classifier →
+    TPU joint run)."""
+    if not args.load_tower_from:
+        return None
+    from ..train.experiment import Checkpointer
+
+    class _Dir:   # Checkpointer only needs .weights
+        weights = os.path.dirname(os.path.abspath(args.load_tower_from))
+
+    payload = Checkpointer(_Dir()).load_raw(
+        os.path.basename(args.load_tower_from))
+    params = payload.get("params", {})
+    if "trunk" not in params:
+        raise ValueError(
+            "--load_tower_from: no 'trunk' subtree in the checkpoint "
+            f"params (keys: {sorted(params)[:6]}) — expected a classifier "
+            "checkpoint (train/classifier.py checkpoint_payload)")
+    return params["trunk"], payload.get("batch_stats", {}).get("trunk", {})
+
+
 def load_features(features_dir: str, split: str, dataset):
     """fc7 features aligned with dataset.image_paths; the image_emb driver
     writes {paths, features} npz per split (the reference's
@@ -161,6 +198,10 @@ def joint_main(args, default_energy: str):
     if args.use_CNN:
         return _joint_cnn_main(args, labelmap, datasets, graph, train_edges,
                                default_energy)
+
+    if args.load_tower_from:
+        raise SystemExit("--load_tower_from requires --use_CNN (the fc7 "
+                         "path has no image tower to warm-start)")
 
     features_dir = args.features_dir or os.path.join(args.data_dir,
                                                      "embeddings")
@@ -309,6 +350,7 @@ def _joint_cnn_main(args, labelmap, datasets, graph, train_edges,
         manifest_args=manifest_from_args(args),
         init_embeddings=init_table,
         init_threshold=init_threshold,
+        init_tower=load_tower_warm_start(args),
     )
     print({k: v for k, v in result.items()
            if isinstance(v, (int, float, str))})

@@ -467,3 +467,74 @@ def test_meshed_eval_embeddings_match_single(setup):
     es = tr_s.image_embeddings_for_rows(rows, batch_size=6)
     assert em.shape == es.shape == (13, 4)
     np.testing.assert_allclose(em, es, rtol=1e-5, atol=1e-6)
+
+
+def test_use_cnn_cli_load_tower_from(tmp_path):
+    """--load_tower_from on the --use_CNN CLI (the reference's two-stage
+    FeatCNN workflow as a flag — upstream hard-codes the classifier
+    experiment path, oe.py:245-255): the image tower's trunk loads from a
+    classifier checkpoint on disk; with --lr_images 0 it stays exactly the
+    warm start through training. Without --use_CNN the flag is rejected."""
+    import json as _json
+    import os
+
+    import cv2
+    import jax
+    import pytest as _pytest
+
+    from learning_embeddings_tpu.cli.oe_h import main
+    from learning_embeddings_tpu.train.classifier import (ClassifierConfig,
+                                                          ClassifierTrainer)
+    from learning_embeddings_tpu.train.experiment import (Checkpointer,
+                                                          ExperimentDir)
+
+    rng = np.random.RandomState(0)
+    data_dir = tmp_path / "splits"
+    img_dir = tmp_path / "imgs"
+    os.makedirs(data_dir)
+    os.makedirs(img_dir / "d")
+    recs = {}
+    for t in range(24):
+        name = f"im_{t}.jpg"
+        cv2.imwrite(str(img_dir / "d" / name),
+                    rng.randint(0, 255, (40, 40, 3), np.uint8))
+        leaf = t % 3
+        recs[f"tok{t}"] = {
+            "token": f"tok{t}", "image_path": "d", "image_name": name,
+            "family": f"F{leaf % 2}", "subfamily": f"S{leaf % 2}",
+            "genus": f"G{leaf % 2}", "specific_epithet": f"e{leaf}"}
+    with open(data_dir / "val.json", "w") as f:
+        _json.dump(recs, f)
+
+    # a (fresh-init) classifier checkpoint — only the trunk transfers, so
+    # the classifier's own labelmap/head shapes are irrelevant
+    from learning_embeddings_tpu.hierarchy import toy_labelmap
+
+    ccfg = ClassifierConfig(backbone="resnet18", criterion="multi_level_ce",
+                            lr=1e-3, optimizer="adam", image_size=32,
+                            batch_size=4, seed=3)
+    cls = ClassifierTrainer(toy_labelmap(2, 2), ccfg, mesh=None)
+    cls_exp = ExperimentDir(str(tmp_path / "clsexp"), "cls")
+    Checkpointer(cls_exp).save("best_model", cls.checkpoint_payload())
+    trunk_p = jax.tree_util.tree_map(np.asarray, cls.state.params["trunk"])
+
+    r = main((f"--set_mode train --use_CNN --loss hyp_cones_loss "
+              f"--load_tower_from {cls_exp.weights}/best_model "
+              f"--data_dir {data_dir} --image_dir {img_dir} "
+              f"--model resnet18 --image_size 32 --embedding_dim 4 "
+              f"--lr 0.01 --lr_images 0 --n_epochs 1 --batch_size 6 "
+              f"--neg_to_pos_ratio 2 --eval_interval 1 "
+              f"--experiment_name tower "
+              f"--experiment_dir {tmp_path / 'exp3'}").split())
+    got = r["trainer"].params["images"]["trunk"]
+    for a, b in zip(jax.tree_util.tree_leaves(trunk_p),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # fc7 path rejects the flag
+    with _pytest.raises(SystemExit, match="requires --use_CNN"):
+        main((f"--set_mode train --loss hyp_cones_loss "
+              f"--load_tower_from {cls_exp.weights}/best_model "
+              f"--data_dir {data_dir} --image_dir {img_dir} "
+              f"--n_epochs 1 --experiment_name tower2 "
+              f"--experiment_dir {tmp_path / 'exp4'}").split())
