@@ -159,7 +159,15 @@ def load_tower_warm_start(args):
             "--load_tower_from: no 'trunk' subtree in the checkpoint "
             f"params (keys: {sorted(params)[:6]}) — expected a classifier "
             "checkpoint (train/classifier.py checkpoint_payload)")
-    return params["trunk"], payload.get("batch_stats", {}).get("trunk", {})
+    stats = payload.get("batch_stats", {})
+    if "trunk" not in stats:
+        # fail here with a clear message rather than deep inside the first
+        # train step's flax apply (a BN backbone always persists its stats)
+        raise ValueError(
+            "--load_tower_from: checkpoint has params['trunk'] but no "
+            f"batch_stats['trunk'] (batch_stats keys: {sorted(stats)[:6]}) "
+            "— the tower's BN statistics must transfer with the weights")
+    return params["trunk"], stats["trunk"]
 
 
 def load_features(features_dir: str, split: str, dataset):

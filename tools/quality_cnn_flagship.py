@@ -37,14 +37,14 @@ sys.path.insert(0, os.getcwd())
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.getcwd(), ".jax_cache"))
 
-import jax
 import numpy as np
 
 from __graft_entry__ import _ethec_labelmap
 from learning_embeddings_tpu.losses.joint_sampling import build_joint_graph
 from learning_embeddings_tpu.train.joint_cnn import JointCNNConfig
 from learning_embeddings_tpu.train.runner import run_joint_cnn
-from tools.flagship_data import device_loader, make_bank, make_patterns
+from tools.flagship_data import (device_loader, load_label_warm_start,
+                                 make_bank, make_patterns)
 
 EXP_DIR = "experiments/quality_r3"
 OUT = os.path.join(EXP_DIR, "results.json")
@@ -98,21 +98,7 @@ cfg = JointCNNConfig(
 
 init_embeddings, init_threshold = None, None
 if WARM_CKPT:
-    # label-table warm start from a label-only run's checkpoint
-    # (the reference workflow: train labels alone, then --load_emb_from
-    # into the joint run, oe_h.py:1435-1436)
-    from learning_embeddings_tpu.train.experiment import (Checkpointer,
-                                                          ExperimentDir)
-
-    wdir, wname = os.path.split(os.path.abspath(WARM_CKPT))
-    exp_root, exp_name = os.path.split(os.path.dirname(wdir))
-    payload = Checkpointer(ExperimentDir(exp_root, exp_name)).load_raw(wname)
-    table = [np.asarray(p) for p in jax.tree_util.tree_leaves(
-        payload["params"]) if getattr(p, "ndim", 0) == 2]
-    assert len(table) == 1, [t.shape for t in table]
-    init_embeddings = table[0]
-    thr = float(payload.get("optimal_threshold", float("nan")))
-    init_threshold = None if np.isnan(thr) else thr
+    init_embeddings, init_threshold = load_label_warm_start(WARM_CKPT)
     print(f"warm start: table {init_embeddings.shape} from {WARM_CKPT}, "
           f"threshold={init_threshold}", flush=True)
 

@@ -44,7 +44,8 @@ from learning_embeddings_tpu.train.classifier import (ClassifierConfig,
                                                       ClassifierTrainer)
 from learning_embeddings_tpu.train.joint_cnn import JointCNNConfig
 from learning_embeddings_tpu.train.runner import run_joint_cnn
-from tools.flagship_data import device_loader, make_bank, make_patterns
+from tools.flagship_data import (device_loader, load_label_warm_start,
+                                 make_bank, make_patterns)
 
 EXP_DIR = "experiments/quality_r3"
 OUT = os.path.join(EXP_DIR, "results.json")
@@ -56,10 +57,15 @@ SIZE = int(os.environ.get("LE_Q3_SIZE", 448))
 BACKBONE = os.environ.get("LE_Q3_BACKBONE", "resnet50")
 CLS_STEPS = int(os.environ.get("LE_TS_STEPS", 1200))
 CLS_BS = int(os.environ.get("LE_TS_BS", 32))
+# every knob that changes the experiment is in the key (stage-1 budget
+# included — a short-tower smoke must not clobber the real flagship record
+# or share its experiment/checkpoint dir)
 NAME = (f"joint_cnn_flagship_{N_EPOCHS}ep_{N_PER_LEAF}perleaf"
         + ("" if (SIZE, BACKBONE) == (448, "resnet50")
            else f"_{BACKBONE}{SIZE}")
-        + "_twostage")
+        + "_twostage"
+        + ("" if (CLS_STEPS, CLS_BS) == (1200, 32)
+           else f"_cls{CLS_STEPS}x{CLS_BS}"))
 
 t0 = time.time()
 lm = _ethec_labelmap()
@@ -116,13 +122,18 @@ for s in range(CLS_STEPS):
 # before the transfer claim means anything)
 ev_mh = np.zeros((n_leaves, lm.n_classes), np.float32)
 ev_mh[np.arange(n_leaves)[:, None], ev_ll + level_start] = 1.0
+# fixed-shape eval batches (static shapes under jit — a ragged tail
+# would trigger a second ~10-min remote TPU compile): modulo-pad the
+# last slice to CLS_BS and drop the wrapped rows after
+pad_ix = np.arange(-(-n_leaves // CLS_BS) * CLS_BS) % n_leaves
 scores = []
-for s in range(0, n_leaves, CLS_BS):
-    _, sc = cls.eval_step(state, banks["val"][s:s + CLS_BS],
-                          jnp.asarray(ev_ll[s:s + CLS_BS]),
-                          jnp.asarray(ev_mh[s:s + CLS_BS]))
+for s in range(0, len(pad_ix), CLS_BS):
+    ix = pad_ix[s:s + CLS_BS]
+    _, sc = cls.eval_step(state, banks["val"][jnp.asarray(ix)],
+                          jnp.asarray(ev_ll[ix]),
+                          jnp.asarray(ev_mh[ix]))
     scores.append(np.asarray(sc))
-m = multilevel_metrics(np.concatenate(scores), ev_ll, lm)
+m = multilevel_metrics(np.concatenate(scores)[:n_leaves], ev_ll, lm)
 cls_metrics = {f"cls_level{l}_micro_f1": round(float(lev.f1_micro), 4)
                for l, lev in enumerate(m["levels"])}
 cls_metrics["cls_global_micro_f1"] = round(m["micro"]["f1"], 4)
@@ -151,18 +162,7 @@ cfg = JointCNNConfig(
 
 init_embeddings, init_threshold = None, None
 if WARM_CKPT:
-    from learning_embeddings_tpu.train.experiment import (Checkpointer,
-                                                          ExperimentDir)
-
-    wdir, wname = os.path.split(os.path.abspath(WARM_CKPT))
-    exp_root, exp_name = os.path.split(os.path.dirname(wdir))
-    payload = Checkpointer(ExperimentDir(exp_root, exp_name)).load_raw(wname)
-    table = [np.asarray(p) for p in jax.tree_util.tree_leaves(
-        payload["params"]) if getattr(p, "ndim", 0) == 2]
-    assert len(table) == 1, [t.shape for t in table]
-    init_embeddings = table[0]
-    thr = float(payload.get("optimal_threshold", float("nan")))
-    init_threshold = None if np.isnan(thr) else thr
+    init_embeddings, init_threshold = load_label_warm_start(WARM_CKPT)
     print(f"warm start: table {init_embeddings.shape} from {WARM_CKPT}, "
           f"threshold={init_threshold}", flush=True)
 

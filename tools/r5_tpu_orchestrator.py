@@ -61,7 +61,9 @@ def r4_queue_busy():
         except OSError:
             continue
         if len(argv) >= 2 and argv[1] in (
+                "tools/r4_tpu_orchestrator.py",
                 "tools/r4_tpu_orchestrator2.py",
+                "tools/r4_warm4_watcher.py",
                 "tools/quality_cnn_flagship.py"):
             return True
     return False
@@ -154,8 +156,20 @@ def main():
         st = run_gated(f"bench_{mode}", [py, "bench.py"] + args)
         try:
             txt = open(f"{OUT}/bench_{mode}.log").read()
-            line = [ln for ln in txt.splitlines()
-                    if ln.startswith("{") and '"metric"' in ln]
+            line = []
+            for ln in txt.splitlines():
+                if not (ln.startswith("{") and '"metric"' in ln):
+                    continue
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                # never tee a stale-fallback echo: bench.py's own
+                # _stale_fallback globs these files by newest mtime, so a
+                # re-teed old capture would masquerade as this round's
+                # live number
+                if not rec.get("stale"):
+                    line.append(ln)
             if line:
                 with open(f"{OUT}/bench_{mode}.json", "w") as f:
                     f.write(line[-1] + "\n")
