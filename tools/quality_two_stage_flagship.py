@@ -65,7 +65,11 @@ NAME = (f"joint_cnn_flagship_{N_EPOCHS}ep_{N_PER_LEAF}perleaf"
            else f"_{BACKBONE}{SIZE}")
         + "_twostage"
         + ("" if (CLS_STEPS, CLS_BS) == (1200, 32)
-           else f"_cls{CLS_STEPS}x{CLS_BS}"))
+           else f"_cls{CLS_STEPS}x{CLS_BS}")
+        # LE_TS_TAG distinguishes warm-table vs tower-only variants (the
+        # 2x2 warm-start matrix) without clobbering each other's
+        # experiment dirs / results keys
+        + os.environ.get("LE_TS_TAG", ""))
 
 t0 = time.time()
 lm = _ethec_labelmap()
