@@ -91,10 +91,19 @@ tr_ll = paths[train_leaves]
 ev_ll = paths[eval_leaves]
 level_start = np.asarray(lm.level_start)
 
+# remat=False: bs32@448 fits HBM comfortably next to the pixel banks
+# (bench compiles the same trainer at bs128@448 no-remat), and the
+# remat'd classifier step is the one compile that has never succeeded
+# through the remote endpoint — 4/4 attempts died in the stage-1
+# train_step compile with "remote_compile: Broken pipe" (2026-08-19
+# 16:00-20:11) while bench / the remat'd JOINT tower / tiny jits all
+# compiled fine in the same windows. remat stays the JointCNNConfig
+# default for stage 2, where bucket-64 unique-pixel batches need it.
 cls_cfg = ClassifierConfig(backbone=BACKBONE, criterion="multi_level_ce",
                            lr=1e-3, optimizer="adam", image_size=SIZE,
                            batch_size=CLS_BS, seed=0,
-                           remat=(SIZE >= 448))
+                           remat=bool(int(os.environ.get("LE_TS_REMAT",
+                                                         "0"))))
 cls = ClassifierTrainer(lm, cls_cfg, mesh=None)
 
 tr_ll_dev = jnp.asarray(tr_ll)
