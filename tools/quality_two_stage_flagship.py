@@ -72,6 +72,15 @@ NAME = (f"joint_cnn_flagship_{N_EPOCHS}ep_{N_PER_LEAF}perleaf"
         + os.environ.get("LE_TS_TAG", ""))
 
 t0 = time.time()
+RESUME = bool(int(os.environ.get("LE_Q3_RESUME", "0")))
+# On an outage-retry resume with a stage-2 checkpoint already on disk the
+# tower init is ignored (runner.py:498-505 restores the full payload), so
+# stage 1 would be ~20 min of pure re-compile/re-train waste — skip it and
+# reuse the persisted stage-1 metrics from the first attempt.
+_weights_dir = os.path.join(EXP_DIR, NAME, "weights")
+SKIP_STAGE1 = RESUME and os.path.isdir(_weights_dir) and any(
+    d.isdigit() for d in os.listdir(_weights_dir))
+
 lm = _ethec_labelmap()
 n_leaves = lm.levels[-1]
 patterns = make_patterns(n_leaves)
@@ -91,72 +100,103 @@ tr_ll = paths[train_leaves]
 ev_ll = paths[eval_leaves]
 level_start = np.asarray(lm.level_start)
 
-# remat=False: bs32@448 fits HBM comfortably next to the pixel banks
-# (bench compiles the same trainer at bs128@448 no-remat), and the
-# remat'd classifier step is the one compile that has never succeeded
-# through the remote endpoint — 4/4 attempts died in the stage-1
-# train_step compile with "remote_compile: Broken pipe" (2026-08-19
-# 16:00-20:11) while bench / the remat'd JOINT tower / tiny jits all
-# compiled fine in the same windows. remat stays the JointCNNConfig
-# default for stage 2, where bucket-64 unique-pixel batches need it.
-cls_cfg = ClassifierConfig(backbone=BACKBONE, criterion="multi_level_ce",
-                           lr=1e-3, optimizer="adam", image_size=SIZE,
-                           batch_size=CLS_BS, seed=0,
-                           remat=bool(int(os.environ.get("LE_TS_REMAT",
-                                                         "0"))))
-cls = ClassifierTrainer(lm, cls_cfg, mesh=None)
 
-tr_ll_dev = jnp.asarray(tr_ll)
-mh = np.zeros((len(train_leaves), lm.n_classes), np.float32)
-mh[np.arange(len(train_leaves))[:, None], tr_ll + level_start] = 1.0
-mh_dev = jnp.asarray(mh)
-bank_tr = banks["train"]
+def _stage1():
+    # remat=False: bs32@448 fits HBM comfortably next to the pixel banks
+    # (bench compiles the same trainer at bs128@448 no-remat), and the
+    # remat'd classifier step is the one compile that has never succeeded
+    # through the remote endpoint — 4/4 attempts died in the stage-1
+    # train_step compile with "remote_compile: Broken pipe" (2026-08-19
+    # 16:00-20:11) while bench / the remat'd JOINT tower / tiny jits all
+    # compiled fine in the same windows. remat stays the JointCNNConfig
+    # default for stage 2, where bucket-64 unique-pixel batches need it.
+    cls_cfg = ClassifierConfig(backbone=BACKBONE,
+                               criterion="multi_level_ce",
+                               lr=1e-3, optimizer="adam", image_size=SIZE,
+                               batch_size=CLS_BS, seed=0,
+                               remat=bool(int(os.environ.get("LE_TS_REMAT",
+                                                             "0"))))
+    cls = ClassifierTrainer(lm, cls_cfg, mesh=None)
+
+    tr_ll_dev = jnp.asarray(tr_ll)
+    mh = np.zeros((len(train_leaves), lm.n_classes), np.float32)
+    mh[np.arange(len(train_leaves))[:, None], tr_ll + level_start] = 1.0
+    mh_dev = jnp.asarray(mh)
+    bank_tr = banks["train"]
+
+    @jax.jit
+    def gather(idx):
+        return bank_tr[idx], tr_ll_dev[idx], mh_dev[idx]
+
+    rng = np.random.RandomState(17)
+    n_train = len(train_leaves)
+    order = np.concatenate(
+        [rng.permutation(n_train)
+         for _ in range(CLS_STEPS * CLS_BS // n_train + 2)])
+    state = cls.state
+    t_cls = time.time()
+    for s in range(CLS_STEPS):
+        idx = jnp.asarray(order[s * CLS_BS:(s + 1) * CLS_BS])
+        state, loss = cls.train_step(state, *gather(idx))
+        if s % 100 == 0:
+            print(f"[stage1] step {s} loss {float(loss):.4f} "
+                  f"({time.time() - t_cls:.0f}s)", flush=True)
+
+    # held-out eval on the val bank (sanity: the tower must actually be
+    # good before the transfer claim means anything)
+    ev_mh = np.zeros((n_leaves, lm.n_classes), np.float32)
+    ev_mh[np.arange(n_leaves)[:, None], ev_ll + level_start] = 1.0
+    # fixed-shape eval batches (static shapes under jit — a ragged tail
+    # would trigger a second ~10-min remote TPU compile): modulo-pad the
+    # last slice to CLS_BS and drop the wrapped rows after
+    pad_ix = np.arange(-(-n_leaves // CLS_BS) * CLS_BS) % n_leaves
+    scores = []
+    for s in range(0, len(pad_ix), CLS_BS):
+        ix = pad_ix[s:s + CLS_BS]
+        _, sc = cls.eval_step(state, banks["val"][jnp.asarray(ix)],
+                              jnp.asarray(ev_ll[ix]),
+                              jnp.asarray(ev_mh[ix]))
+        scores.append(np.asarray(sc))
+    m = multilevel_metrics(np.concatenate(scores)[:n_leaves], ev_ll, lm)
+    cm = {f"cls_level{l}_micro_f1": round(float(lev.f1_micro), 4)
+          for l, lev in enumerate(m["levels"])}
+    cm["cls_global_micro_f1"] = round(m["micro"]["f1"], 4)
+    cm["cls_final_loss"] = round(float(loss), 4)
+    cm["cls_wall_s"] = round(time.time() - t_cls, 1)
+    print(f"[stage1] done: {cm}", flush=True)
+
+    trunk_params = jax.tree_util.tree_map(np.asarray,
+                                          state.params["trunk"])
+    trunk_stats = jax.tree_util.tree_map(np.asarray,
+                                         state.batch_stats["trunk"])
+    return cm, (trunk_params, trunk_stats)
 
 
-@jax.jit
-def gather(idx):
-    return bank_tr[idx], tr_ll_dev[idx], mh_dev[idx]
+def _merge_results(key, rec):
+    os.makedirs(EXP_DIR, exist_ok=True)
+    blob = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    blob[key] = rec
+    with open(OUT, "w") as f:
+        json.dump(blob, f, indent=2)
 
 
-rng = np.random.RandomState(17)
-n_train = len(train_leaves)
-order = np.concatenate([rng.permutation(n_train)
-                        for _ in range(CLS_STEPS * CLS_BS // n_train + 2)])
-state = cls.state
-t_cls = time.time()
-for s in range(CLS_STEPS):
-    idx = jnp.asarray(order[s * CLS_BS:(s + 1) * CLS_BS])
-    state, loss = cls.train_step(state, *gather(idx))
-    if s % 100 == 0:
-        print(f"[stage1] step {s} loss {float(loss):.4f} "
-              f"({time.time() - t_cls:.0f}s)", flush=True)
-
-# held-out eval on the val bank (sanity: the tower must actually be good
-# before the transfer claim means anything)
-ev_mh = np.zeros((n_leaves, lm.n_classes), np.float32)
-ev_mh[np.arange(n_leaves)[:, None], ev_ll + level_start] = 1.0
-# fixed-shape eval batches (static shapes under jit — a ragged tail
-# would trigger a second ~10-min remote TPU compile): modulo-pad the
-# last slice to CLS_BS and drop the wrapped rows after
-pad_ix = np.arange(-(-n_leaves // CLS_BS) * CLS_BS) % n_leaves
-scores = []
-for s in range(0, len(pad_ix), CLS_BS):
-    ix = pad_ix[s:s + CLS_BS]
-    _, sc = cls.eval_step(state, banks["val"][jnp.asarray(ix)],
-                          jnp.asarray(ev_ll[ix]),
-                          jnp.asarray(ev_mh[ix]))
-    scores.append(np.asarray(sc))
-m = multilevel_metrics(np.concatenate(scores)[:n_leaves], ev_ll, lm)
-cls_metrics = {f"cls_level{l}_micro_f1": round(float(lev.f1_micro), 4)
-               for l, lev in enumerate(m["levels"])}
-cls_metrics["cls_global_micro_f1"] = round(m["micro"]["f1"], 4)
-cls_metrics["cls_final_loss"] = round(float(loss), 4)
-cls_metrics["cls_wall_s"] = round(time.time() - t_cls, 1)
-print(f"[stage1] done: {cls_metrics}", flush=True)
-
-trunk_params = jax.tree_util.tree_map(np.asarray, state.params["trunk"])
-trunk_stats = jax.tree_util.tree_map(np.asarray, state.batch_stats["trunk"])
-del state, cls, mh_dev, tr_ll_dev  # free HBM before the joint stage
+if SKIP_STAGE1:
+    # stage-2 checkpoint already on disk: the runner restores the full
+    # payload, so re-training the tower would be dead weight per retry
+    blob = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    cls_metrics = blob.get(NAME + "_stage1", {})
+    init_tower = None
+    print(f"[stage1] SKIPPED (resume from {_weights_dir}); "
+          f"persisted metrics: {cls_metrics}", flush=True)
+else:
+    cls_metrics, init_tower = _stage1()
+    # persist immediately: stage 2 is hours long and outage-prone — the
+    # stage-1 quality number must survive a mid-stage-2 crash/wipe
+    _merge_results(NAME + "_stage1", dict(cls_metrics))
+    with open("R5_RESULTS_AUTO.md", "a") as f:
+        f.write(f"\n## {NAME} stage-1 classifier (held-out val bank) "
+                f"({time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())})"
+                f"\n\n```json\n{json.dumps(cls_metrics, indent=2)}\n```\n")
 
 # ---------------------------------------------------------------- stage 2
 ll_train = lm.leaf_paths()[train_leaves]
@@ -187,7 +227,7 @@ res = run_joint_cnn(
     eval_sets={s: (eval_paths, device_loader(banks[s]))
                for s in ("val", "test")},
     init_embeddings=init_embeddings, init_threshold=init_threshold,
-    init_tower=(trunk_params, trunk_stats),
+    init_tower=init_tower,
     manifest_args={"loss": "hyp_cones_loss", "use_CNN": "True",
                    "hide_levels": "True", "half_half": "True",
                    "load_emb_from": str(WARM_CKPT),
@@ -197,9 +237,5 @@ flat = {k: v for k, v in res.items() if isinstance(v, (int, float))}
 flat.update({f"test_{k}": v for k, v in res["test_metrics"].items()})
 flat.update(cls_metrics)
 flat["wall_s"] = round(time.time() - t0, 1)
-os.makedirs(EXP_DIR, exist_ok=True)
-results = json.load(open(OUT)) if os.path.exists(OUT) else {}
-results[NAME] = flat
-with open(OUT, "w") as f:
-    json.dump(results, f, indent=2)
+_merge_results(NAME, flat)
 print("==", flat, flush=True)
