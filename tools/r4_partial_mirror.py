@@ -78,13 +78,26 @@ def render():
     return "".join(parts)
 
 
+def _sans_stamp(txt):
+    return "\n".join(ln for ln in txt.splitlines()
+                     if not ln.startswith("_Last mirror:"))
+
+
 def main():
     while True:
         txt = render()
-        tmp = OUT + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(txt)
-        os.replace(tmp, OUT)
+        try:
+            prev = open(OUT).read()
+        except OSError:
+            prev = ""
+        # only rewrite when actual metrics changed — the timestamp alone
+        # must not dirty the file (tools/r5_autocommit.py would commit
+        # a no-op every cycle)
+        if _sans_stamp(txt) != _sans_stamp(prev):
+            tmp = OUT + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(txt)
+            os.replace(tmp, OUT)
         time.sleep(120)
 
 
