@@ -103,13 +103,13 @@ level_start = np.asarray(lm.level_start)
 
 def _stage1():
     # remat=False: bs32@448 fits HBM comfortably next to the pixel banks
-    # (bench compiles the same trainer at bs128@448 no-remat), and the
-    # remat'd classifier step is the one compile that has never succeeded
-    # through the remote endpoint — 4/4 attempts died in the stage-1
-    # train_step compile with "remote_compile: Broken pipe" (2026-08-19
-    # 16:00-20:11) while bench / the remat'd JOINT tower / tiny jits all
-    # compiled fine in the same windows. remat stays the JointCNNConfig
-    # default for stage 2, where bucket-64 unique-pixel batches need it.
+    # (bench compiles the same trainer at bs128@448 no-remat). The
+    # 2026-08-19 "stage-1 Broken pipe" compile failures that were first
+    # pinned on remat turned out to be the jitted gather closing over the
+    # device pixel bank (see below) — but no-remat stays: it is the
+    # bench-proven configuration and there is no memory pressure at bs32.
+    # remat stays the JointCNNConfig default for stage 2, where bucket-64
+    # unique-pixel batches need it.
     cls_cfg = ClassifierConfig(backbone=BACKBONE,
                                criterion="multi_level_ce",
                                lr=1e-3, optimizer="adam", image_size=SIZE,
@@ -124,7 +124,14 @@ def _stage1():
     mh_dev = jnp.asarray(mh)
     bank_tr = banks["train"]
 
-    @jax.jit
+    # EAGER indexing, deliberately NOT jitted: a jit closing over the
+    # ~1.35 GB device pixel bank embeds it in the lowered module, and the
+    # remote compile endpoint drops the oversized request with "Broken
+    # pipe" (5/5 stage-1 failures, 2026-08-19 16:00-22:51 — previously
+    # misattributed to the remat'd train_step; bench and the joint stage
+    # compile fine because nothing they jit captures a bank). The joint
+    # flagship's device_loader (tools/flagship_data.py) uses the same
+    # eager pattern and has always worked.
     def gather(idx):
         return bank_tr[idx], tr_ll_dev[idx], mh_dev[idx]
 
