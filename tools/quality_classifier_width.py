@@ -75,7 +75,11 @@ def main():
        tr_ll + np.asarray(lm.level_start)] = 1.0
     mh_dev = jnp.asarray(mh)
 
-    @jax.jit
+    # eager, NOT jitted: a jit closing over the device image bank ships
+    # the bank inside the remote-compile request — at flagship-bank sizes
+    # (~1.35 GB) the endpoint drops it with "Broken pipe" (measured on
+    # quality_two_stage_flagship.py, 2026-08-19); this bank is smaller
+    # but the pattern is the same hazard
     def gather(idx):
         return imgs_dev[idx], ll_dev[idx], mh_dev[idx]
 
